@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URI canonicalization + connected-components entity resolution
+  * (SURVEY.md §2.4, BASELINE.json:6: "URI canonicalization via salted-hash
+  * dedup + connected-components entity resolution (GraphFrames-style
+  * iterative join, not GraphX RDDs)").
+  */
+object Canonicalizer {
+
+  /** C3: connected components over an undirected edge list via alternating
+    * large-star / small-star DataFrame joins (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — the algorithm
+    * GraphFrames uses). Converges in O(log n) rounds; every round is plain
+    * joins + hash aggregates, no RDDs.
+    *
+    * Input: edges(src, dst) — any orientation, self-loops tolerated.
+    * Output: (entity_id, canonical) covering every node that appears in an
+    * edge; canonical = min node id of the component (string order).
+    * Checkpoints every `checkpointEvery` rounds to truncate lineage
+    * (BASELINE.json:14); uses localCheckpoint when no checkpoint dir is
+    * configured (local/test mode).
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50, checkpointEvery: Int = 3,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
+    val src = col("src"); val dst = col("dst")
+
+    // Broadcast-sized fast path: alias/sameAs dimension graphs are often
+    // tiny relative to the corpus; a driver union-find avoids paying
+    // O(log n) distributed rounds of fixed job overhead. (Driver collect
+    // is allowed for broadcast-sized dims only — BASELINE.md design-scale
+    // row.) The iterative star path below is the at-scale path and the
+    // two are property-tested to agree.
+    val dedup = edges.select(src, dst).filter(src =!= dst).distinct().cache()
+    if (dedup.count() <= smallGraphThreshold)
+      return unionFindLocal(spark, dedup)
+
+    // large-star: for each u over the symmetrized neighborhood, connect all
+    // strictly larger neighbors to m = min(Γ(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(dst.as("src"), src.as("dst"))).distinct()
+      val mins = und.groupBy("src").agg(least(min(dst), first(src)).as("m"))
+      und.join(mins, "src")
+        .filter(dst > src)
+        .select(dst.as("src"), col("m").as("dst"))
+        .filter(src =!= dst)
+        .distinct()
+    }
+
+    // small-star: orient edges high→low, connect all smaller neighbors and
+    // u itself to m = min of them.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(src, dst).as("src"), least(src, dst).as("dst"))
+        .filter(src =!= dst).distinct()
+      val mins = dir.groupBy("src").agg(min(dst).as("m"))
+      val rewired = dir.join(mins, "src")
+        .select(dst.as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+      rewired.filter(src =!= dst).distinct()
+    }
+
+    // bit_xor, not sum: order-independent AND can't overflow — Spark 4
+    // runs ANSI mode by default, where a long-sum overflow throws.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val hasCkptDir = spark.sparkContext.getCheckpointDir.isDefined
+    var cur = dedup
+    var prev = (-1L, 0L)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      var next = smallStar(largeStar(cur))
+      next = if ((i + 1) % checkpointEvery == 0) {
+        if (hasCkptDir) next.checkpoint() else next.localCheckpoint()
+      } else next.cache()
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      cur = next
+      i += 1
+    }
+    require(converged || i < maxIter,
+      s"connected components did not converge in $maxIter rounds")
+    // After convergence every edge is (node, componentMin); add the
+    // identity rows for the minima themselves.
+    cur.select(src.as("entity_id"), dst.as("canonical"))
+      .union(cur.select(dst.as("entity_id"), dst.as("canonical")))
+      .distinct()
+  }
+
+  /** Driver-side union-find over a broadcast-sized, deduped edge set;
+    * same output contract as [[connectedComponents]]. */
+  private def unionFindLocal(spark: SparkSession,
+      dedup: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = dedup.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min id keeps canonical = component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    spark.createDataset(nodes.toSeq.sorted.map(n => (n, find(n))))
+      .toDF("entity_id", "canonical")
+  }
+
+  /** C4: rewrite an id column through the component map; ids without a
+    * component stay themselves. Broadcast when the map is small. */
+  def remap(df: DataFrame, idCol: String, components: DataFrame,
+      hintBroadcast: Boolean = true): DataFrame = {
+    val comp0 = components.withColumnRenamed("entity_id", idCol)
+    val comp = if (hintBroadcast) broadcast(comp0) else comp0
+    df.join(comp, Seq(idCol), "left")
+      .withColumn(idCol, coalesce(col("canonical"), col(idCol)))
+      .drop("canonical")
+  }
+
+  /** C5: skew-salted equi-join (BASELINE.json:6 "salting for head-entity
+    * skew"). Replicates the (small, broadcast-unfriendly-but-bounded)
+    * right side k ways; the left side picks a deterministic salt from
+    * `distCol`. Semantically ≡ left.join(right, key) — property-tested.
+    * Complements AQE skew handling, which only splits sort-merge
+    * partitions. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      distCol: String, k: Int = 8, joinType: String = "inner"): DataFrame = {
+    val salted = right.withColumn("_salt",
+      explode(array((0 until k).map(lit): _*)))
+    left.withColumn("_salt", pmod(xxhash64(col(distCol)), lit(k)).cast("int"))
+      .join(salted, Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+}

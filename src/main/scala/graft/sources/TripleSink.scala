@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Spec
+
+/** S5/S7: the materialized triple table — partitioned by subject-hash
+  * bucket, range-repartitioned and sorted by subject within files, with a
+  * JSON-lines manifest carrying per-bucket lineage (row count + content
+  * checksum) for checkpoint-resume (BASELINE.json:6,14; SURVEY.md §2.1,
+  * §7 M4).
+  *
+  * Iceberg substitution note (SURVEY.md §0.3): no Iceberg jar ships in
+  * /opt/spark/jars, so the Iceberg *layout semantics* are implemented on
+  * plain parquet — hash-bucketed partition dirs + manifest as the snapshot
+  * — behind this one object, so a real catalog can replace it where the
+  * runtime exists.
+  */
+object TripleSink {
+
+  /** One completed-bucket record in the manifest (per-partition lineage,
+    * BASELINE.json:14). */
+  final case class BucketLineage(bucket: Int, rows: Long, checksum: Long)
+
+  def manifestPath(path: String): String = s"$path/_graft_manifest.json"
+
+  def readManifest(path: String): Seq[BucketLineage] = {
+    val p = Paths.get(manifestPath(path))
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        // fixed writer format, see appendManifest
+        val cols = line.split(",")
+        BucketLineage(cols(0).toInt, cols(1).toLong, cols(2).toLong)
+      }
+  }
+
+  private def appendManifest(path: String, rows: Seq[BucketLineage]): Unit = {
+    val p = Paths.get(manifestPath(path))
+    Files.createDirectories(p.getParent)
+    val body = rows.map(r => s"${r.bucket},${r.rows},${r.checksum}")
+      .mkString("", "\n", "\n")
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Adds the physical subject-hash bucket column (FIXTURES.md §5). */
+  def withSubjectBucket(triples: DataFrame,
+      buckets: Int = Spec.DefaultSubjectBuckets): DataFrame =
+    triples.withColumn("subj_bucket",
+      pmod(xxhash64(col("subj")), lit(buckets.toLong)).cast("int"))
+
+  /** Write (or resume writing) the triple table.
+    *
+    * Resume protocol: buckets listed in the manifest are complete and are
+    * skipped; remaining buckets are (re)written via dynamic partition
+    * overwrite — a partially-written bucket dir from a crashed run is
+    * simply overwritten, so the end state is exactly-once per bucket.
+    * Returns the lineage rows written this invocation.
+    *
+    * `onlyBuckets` is a test hook to simulate a run that died after a
+    * subset of buckets (SURVEY.md §5.1 resume test).
+    */
+  def writeTriples(spark: SparkSession, triples: DataFrame, path: String,
+      buckets: Int = Spec.DefaultSubjectBuckets,
+      onlyBuckets: Option[Set[Int]] = None): Seq[BucketLineage] = {
+    val done = readManifest(path).map(_.bucket).toSet
+    val remaining = (0 until buckets).toSet -- done
+    val target = onlyBuckets.map(_.intersect(remaining)).getOrElse(remaining)
+    if (target.isEmpty) return Seq.empty
+
+    val bucketed = withSubjectBucket(triples, buckets)
+      .filter(col("subj_bucket").isin(target.toSeq: _*))
+      // C6: spread the subject space, cluster within files by subject
+      .repartitionByRange(col("subj_bucket"), col("subj"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .cache()
+
+    bucketed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("subj_bucket")
+      .parquet(path)
+
+    val lineage = bucketed
+      .groupBy("subj_bucket")
+      // bit_xor: order-independent content checksum that cannot overflow
+      // under ANSI mode (a long sum would throw)
+      .agg(count(lit(1)).as("rows"),
+        coalesce(expr("bit_xor(xxhash64(subj, pred, obj))"), lit(0L))
+          .as("checksum"))
+      .collect()
+      .map(r => BucketLineage(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    bucketed.unpersist()
+    // buckets that had zero rows are still complete
+    val empty = (target -- lineage.map(_.bucket).toSet).toSeq.sorted
+      .map(b => BucketLineage(b, 0L, 0L))
+    val all = (lineage ++ empty).sortBy(_.bucket)
+    appendManifest(path, all)
+    all
+  }
+
+  /** Read back a written triple table. */
+  def readTriples(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S6: N-Triples text lines (RDF 1.1 N-Triples), globally sorted for
+    * byte-stable golden diffs (SURVEY.md §5.1). */
+  def toNTriples(triples: DataFrame): DataFrame =
+    triples.select(
+      concat(
+        lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "),
+        when(col("obj_type") === "iri", concat(lit("<"), col("obj"), lit(">")))
+          .otherwise(concat(lit("\""),
+            regexp_replace(regexp_replace(col("obj"), "\\\\", "\\\\\\\\"),
+              "\"", "\\\\\""), lit("\""))),
+        lit(" .")).as("line"))
+      .orderBy("line")
+}
