@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators._
+import graft.sources.InterleavedDocs
+
+/** Unit goldens for the Aho–Corasick matcher + overlap resolution (M2/M3). */
+class MatcherSpec extends SparkTestBase {
+
+  private val gaz = Spec.Gazetteer
+
+  private def matchDoc(text: String): Seq[(Int, Int, String, String)] = {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(Doc("d1", Seq(Span("text", text, null, 0)))))
+    GazetteerMatcher.candidates(spark,
+        SpanOps.textSpans(SpanOps.explodeSpans(docs)), gaz)
+      .collect()
+      .map(c => (c.begin, c.end, c.surface, c.entity_id))
+      .sortBy(m => (m._1, m._4)).toSeq
+  }
+
+  test("single-token match with char offsets") {
+    assert(matchDoc("the customer is here") ===
+      Seq((4, 12, "customer", "E_customer")))
+  }
+
+  test("multi-token beats overlapping single tokens (longest match)") {
+    assert(matchDoc("a sort merge b") ===
+      Seq((2, 12, "sort merge", "E_sortmerge")))
+  }
+
+  test("adjacent matches both kept when non-overlapping") {
+    assert(matchDoc("sort merge hash join") ===
+      Seq((0, 10, "sort merge", "E_sortmerge"),
+        (11, 20, "hash join", "E_hashjoin")))
+  }
+
+  test("ambiguous surface keeps all candidate entities until top-1") {
+    assert(matchDoc("data") ===
+      Seq((0, 4, "data", "E_data_a"), (0, 4, "data", "E_data_b")))
+  }
+
+  test("no substring matches inside longer tokens (token-aligned)") {
+    assert(matchDoc("parts sorting departure") === Seq.empty)
+  }
+
+  test("case-insensitive matching, offsets on original text") {
+    assert(matchDoc("The CUSTOMER Spark") ===
+      Seq((4, 12, "customer", "E_customer"), (13, 18, "spark", "E_spark")))
+  }
+
+  test("tokenizer handles repeated separators") {
+    assert(GazetteerMatcher.tokenize("a  bc   d").toSeq ===
+      Seq(("a", 0), ("bc", 3), ("d", 8)))
+  }
+}
+
+/** Connected components: distributed star path vs driver union-find vs
+  * brute-force oracle; idempotence; permutation invariance (SURVEY.md §5.1). */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ccDistributed(edges: Seq[(String, String)]): Map[String, String] =
+    Canonicalizer.connectedComponents(spark, edges.toDF("src", "dst"),
+        smallGraphThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def ccLocal(edges: Seq[(String, String)]): Map[String, String] =
+    Canonicalizer.connectedComponents(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def oracle(edges: Seq[(String, String)]): Map[String, String] =
+    SequentialOracle.components(edges.map(e => SameAsEdge(e._1, e._2)))
+
+  test("fixture graph: chains, cycle, star — all three implementations agree") {
+    val e = Spec.SameAs.map(x => (x.src_entity, x.dst_entity))
+    assert(ccLocal(e) === oracle(e))
+    assert(ccDistributed(e) === oracle(e))
+  }
+
+  test("long path graph (worst case for label propagation)") {
+    val e = (0 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    assert(ccDistributed(e) === oracle(e))
+  }
+
+  test("deterministic pseudo-random graph, distributed ≡ oracle") {
+    // hash-derived edges, no RNG state (build reproducibility)
+    val e = (0 until 300).map { i =>
+      val a = (i * 7919) % 97; val b = (i * 104729 + 13) % 97
+      (f"v$a%02d", f"v$b%02d")
+    }.filter(x => x._1 != x._2)
+    assert(ccDistributed(e) === oracle(e))
+    assert(ccLocal(e) === oracle(e))
+  }
+
+  test("idempotence: CC of its own output is a fixpoint") {
+    val e = Spec.SameAs.map(x => (x.src_entity, x.dst_entity))
+    val once = ccLocal(e)
+    val again = ccLocal(once.toSeq)
+    // mapping through `again` changes nothing
+    assert(once.forall { case (_, c) => again.getOrElse(c, c) == c })
+  }
+
+  test("edge-orientation and order invariance") {
+    val e = Spec.SameAs.map(x => (x.src_entity, x.dst_entity))
+    val flipped = e.reverse.map(_.swap)
+    assert(ccLocal(flipped) === ccLocal(e))
+    assert(ccDistributed(flipped) === ccDistributed(e))
+  }
+}
+
+/** C5 salted join ≡ plain join, on skewed data (SURVEY.md §5.1). */
+class SaltedJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join equals plain join on a head-skewed key distribution") {
+    // 90% of left rows share one hot key
+    val left = (0 until 2000)
+      .map(i => (if (i % 10 != 0) "hot" else s"k${i % 50}", s"row$i"))
+      .toDF("key", "payload")
+    val right = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "dim")
+    val plain = left.join(right, "key").select("key", "payload", "dim")
+    val salted = Canonicalizer.saltedJoin(left, right, "key", "payload", k = 8)
+      .select("key", "payload", "dim")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("left join type preserved for misses") {
+    val left = Seq(("a", 1), ("zzz", 2)).toDF("key", "v")
+    val right = Seq(("a", "x")).toDF("key", "d")
+    val res = Canonicalizer.saltedJoin(left, right, "key", "v", k = 4,
+      joinType = "left").collect()
+    assert(res.length == 2)
+  }
+}
+
+/** P5 span-sequence-equality invariant (BASELINE.json:15) as a property
+  * over the deterministic generator + crafted docs. */
+class SpanInvariantSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("explode+reassemble preserves (kind,text,media_ref,order) per doc") {
+    val docs = InterleavedDocs.synthesize(spark, 300L, seed = 11L, skewPct = 10)
+    val exploded = SpanOps.explodeSpans(docs)
+    val check = SpanOps.spanSequenceEquality(docs, exploded)
+    assert(check.filter(!col("ok")).count() == 0)
+  }
+
+  test("violation detected when a span is dropped") {
+    val docs = InterleavedDocs.synthesize(spark, 50L, seed = 3L)
+    val broken = SpanOps.explodeSpans(docs).filter(col("pos") =!= 1)
+    val check = SpanOps.spanSequenceEquality(docs, broken)
+    assert(check.filter(!col("ok")).count() > 0)
+  }
+
+  test("violation detected when spans are reordered/rewritten") {
+    val docs = spark.createDataset(Seq(
+      Doc("a", Seq(Span("text", "x", null, 0), Span("media", null, "m/1", 2)))))
+    val rewritten = SpanOps.explodeSpans(docs)
+      .withColumn("media_ref",
+        when(col("kind") === "media", lit("m/EVIL")).otherwise(col("media_ref")))
+    assert(SpanOps.spanSequenceEquality(docs, rewritten)
+      .filter(!col("ok")).count() == 1)
+  }
+
+  test("generator invariants: offsets strictly increasing, kinds well-formed") {
+    val docs = InterleavedDocs.synthesize(spark, 200L, seed = 5L).collect()
+    docs.foreach { d =>
+      val offs = d.spans.map(_.offset)
+      assert(offs == offs.sorted && offs.distinct.size == offs.size, d.doc_id)
+      d.spans.foreach { s =>
+        assert((s.kind == "text" && s.text != null && s.media_ref == null) ||
+          (s.kind == "media" && s.media_ref != null && s.text == null))
+      }
+    }
+  }
+}
