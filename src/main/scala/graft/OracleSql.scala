@@ -118,22 +118,154 @@ object OracleSql {
     "WITH RECURSIVE " + OracleCte.sameAsCte + ", " + canonCte +
       " SELECT entity_id, canonical FROM canon"
 
-  val triplesFinal: String =
+  // ----- training-data curation oracles ---------------------------------
+
+  /** Word-3-gram shingle sets per doc (mirrors Dedup.shingles, n=3). */
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin
+
+  val ngramJaccard: String =
+    OracleCte.withClause(shinglesCte,
+      "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)",
+      """inter AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+        |  GROUP BY 1, 2
+        |)""".stripMargin) +
+      """SELECT a, b,
+        | round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+        | FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+        | WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.8"""
+        .stripMargin.replace("\n", "")
+
+  val textStats: String =
+    """SELECT doc_id AS id,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      | length(text) AS n_chars,
+      | round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |   / len(string_split(text, ' ')), 6) AS mean_tok_len
+      | FROM documents""".stripMargin.replace("\n", "")
+
+  val textQuality: String =
+    """WITH q AS (
+      |  SELECT doc_id AS id, len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('a', 'the', 'and', 'of', 'is'))) AS nstop,
+      |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS meanlen
+      |  FROM documents)
+      |SELECT id, n AS n_tokens,
+      |  round(CAST(nstop AS DOUBLE) / n, 6) AS stopword_ratio,
+      |  round(least(1.0, n / 50.0) * 0.4
+      |    + (1.0 - CAST(nstop AS DOUBLE) / n) * 0.3
+      |    + least(1.0, meanlen / 8.0) * 0.3, 6) AS quality
+      |FROM q""".stripMargin.replace("\n", " ")
+
+  /** Karp–Rabin fold; list_prepend(0) because DuckDB list_reduce seeds the
+    * accumulator with the first element (Spark's aggregate takes an
+    * explicit zero). BIGINT casts: DuckDB would otherwise multiply in
+    * 32-bit and overflow. */
+  val textFingerprint: String =
+    """SELECT doc_id AS id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(string_split(text, ''),
+      |       c -> CAST(ascii(c) AS BIGINT))),
+      |   (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+      | FROM documents""".stripMargin.replace("\n", "")
+
+  private val profilesCte: String =
+    graft.operators.TextAnalysis.StopwordProfiles
+      .map { case (l, w) => s"('$l', '$w')" }
+      .mkString("profiles(lang, word) AS (SELECT * FROM (VALUES ", ", ", "))")
+
+  val langId: String =
+    OracleCte.withClause(profilesCte,
+      """toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), hits AS (
+        |  SELECT id, lang, count(*) AS score FROM toks
+        |  JOIN profiles ON tok = word GROUP BY id, lang
+        |), best AS (
+        |  SELECT id, lang, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |      ORDER BY score DESC, lang ASC) AS rn FROM hits)
+        |  WHERE rn = 1
+        |)""".stripMargin) +
+      """SELECT d.doc_id AS id,
+        | CASE WHEN regexp_matches(d.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      ELSE coalesce(b.lang, 'und') END AS lang_id,
+        | coalesce(b.score, 0) AS score
+        | FROM documents d LEFT JOIN best b ON d.doc_id = b.id"""
+        .stripMargin.replace("\n", "")
+
+  /** Sequential-order double dot product — the exact twin of
+    * Similarity.dot (zip_with + aggregate), bit-reproducible. */
+  private def duckDot(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform(range(1, len($x) + 1),
+       |   i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       | (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+
+  private val cosPairsCte: String =
+    s"""pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ${duckDot("x.embedding", "y.embedding")} /
+       |    (sqrt(${duckDot("x.embedding", "x.embedding")}) *
+       |     sqrt(${duckDot("y.embedding", "y.embedding")})) AS cos
+       |  FROM embeddings x, embeddings y WHERE x.vec_id <> y.vec_id
+       |)""".stripMargin
+
+  val embTopK: String =
+    OracleCte.withClause(cosPairsCte) +
+      """SELECT a AS vec_id, b AS neighbor_id, round(cos, 6) AS cos, rk FROM (
+        | SELECT a, b, cos, row_number() OVER (PARTITION BY a
+        |   ORDER BY cos DESC, b ASC) AS rk FROM pairs)
+        | WHERE rk <= 5""".stripMargin.replace("\n", "")
+
+  val embDupPairs: String =
+    OracleCte.withClause(cosPairsCte) +
+      """SELECT a, b, round(cos, 6) AS cos FROM pairs
+        | WHERE a < b AND round(cos, 6) >= 0.4""".stripMargin.replace("\n", "")
+
+  private val triplesWith: String =
     "WITH RECURSIVE " + Seq(OracleCte.spansCte, OracleCte.gazetteerCte,
       OracleCte.sameAsCte, tokensCte, keptCte, top1Cte, canonCte,
       """linked AS (
         |  SELECT t.did, t.surface,
         |         coalesce(c.canonical, t.entity_id) AS eid
         |  FROM top1 t LEFT JOIN canon c ON t.entity_id = c.entity_id
-        |)""".stripMargin).mkString(", ") + " " +
-      s"""SELECT 'ex:doc/' || did AS subj, 'ex:mentions' AS pred,
-         |       ${entUri("eid")} AS obj, 'iri' AS obj_type
-         |FROM linked
-         |UNION
-         |SELECT ${entUri("eid")}, 'ex:label', surface, 'literal'
-         |FROM (SELECT DISTINCT eid, surface FROM linked)
-         |UNION
-         |SELECT 'ex:doc/' || did, 'ex:hasMedia', 'ex:media/' || media_ref,
-         |       'iri'
-         |FROM spans WHERE kind = 'media'""".stripMargin.replace("\n", " ")
+        |)""".stripMargin).mkString(", ") + " "
+
+  private val triplesBody: String =
+    s"""SELECT 'ex:doc/' || did AS subj, 'ex:mentions' AS pred,
+       |       ${entUri("eid")} AS obj, 'iri' AS obj_type
+       |FROM linked
+       |UNION
+       |SELECT ${entUri("eid")}, 'ex:label', surface, 'literal'
+       |FROM (SELECT DISTINCT eid, surface FROM linked)
+       |UNION
+       |SELECT 'ex:doc/' || did, 'ex:hasMedia', 'ex:media/' || media_ref,
+       |       'iri'
+       |FROM spans WHERE kind = 'media'""".stripMargin.replace("\n", " ")
+
+  val triplesFinal: String = triplesWith + triplesBody
+
+  /** S6 N-Triples text export over the final triple set. */
+  val ntriplesExport: String =
+    triplesWith +
+      """SELECT '<' || subj || '> <' || pred || '> ' ||
+        | CASE WHEN obj_type = 'iri' THEN '<' || obj || '>'
+        |      ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
+        | END || ' .' AS line
+        | FROM (""".stripMargin.replace("\n", "") + triplesBody + ")"
 }

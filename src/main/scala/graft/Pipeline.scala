@@ -53,7 +53,8 @@ object Pipeline {
     * (subj, pred, obj) — P/R is set-based, BASELINE.json:2). */
   def triples(spark: SparkSession, docs: Dataset[Doc],
       gazetteer: Seq[GazEntry] = Spec.Gazetteer,
-      sameAs: Seq[SameAsEdge] = Spec.SameAs): DataFrame = {
+      sameAs: Seq[SameAsEdge] = Spec.SameAs,
+      observeMetrics: Boolean = false): DataFrame = {
     import spark.implicits._
     val links = canonicalLinks(spark, docs, gazetteer,
       spark.createDataset(sameAs))
@@ -68,8 +69,14 @@ object Pipeline {
       when(col("link_kind") === "label", lit("literal")).otherwise(lit("iri"))
         .as("obj_type"))
 
-    assembled
-      .dropDuplicates("subj", "pred", "obj")
-      .observe("graft_triples", count(lit(1)).as("triples_out"))
+    val deduped = assembled.dropDuplicates("subj", "pred", "obj")
+    // observe() is opt-in: a CollectMetrics node upstream of further plan
+    // composition (exceptAll, streaming foreachBatch) mis-binds attributes
+    // in GenerateExec on Spark 4.1 — enable it only when the returned df
+    // is consumed directly (e.g. straight into an action or write).
+    // Row-count lineage is independently recorded by the sink manifest.
+    if (observeMetrics)
+      deduped.observe("graft_triples", count(lit(1)).as("triples_out"))
+    else deduped
   }
 }

@@ -118,6 +118,96 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rk").cast("bigint").as("rk"))
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))),
+
+    "q_events_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint"))
+          .as("sum_k"), count(lit(1)).as("n"))),
+
+    // --- training-data curation operators (dedup / similarity / text) ---
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByText(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, minJaccard = 0.8)),
+
+    // MinHash-LSH: probabilistic recall — rows-only check here, recall
+    // property-tested against the exact pairs in DedupSpec
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        maxHamming = 3)),
+
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(s, s.read.parquet(s"$dir/documents.parquet"))),
+
+    "emb_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 5)),
+
+    "emb_dup_pairs" -> ((s, dir) =>
+      Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        minCos = 0.4)),
+
+    // ANN path: approximate — rows-only; recall vs brute force is
+    // property-tested in SimilaritySpec
+    "emb_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 5, dim = 64, nPlanes = 6)),
+
+    // multimodal plumbing (stub codec, deterministic): rows-only
+    "media_decode" -> ((s, dir) => {
+      val refs = SpanOps.mediaSpans(SpanOps.explodeSpans(docs(s, dir)))
+      Multimodal.decodeMeta(s, Multimodal.synthesizeAssets(s, refs)).toDF()
+    }),
+
+    // S6: sorted N-Triples text export of the final triple set
+    "ntriples_export" -> ((s, dir) =>
+      graft.sources.TripleSink.toNTriples(Pipeline.triples(s, docs(s, dir)))),
+
+    // P5: the per-row span-sequence-equality invariant (must be all-true)
+    "span_invariant" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SpanOps.spanSequenceEquality(d, SpanOps.explodeSpans(d))
+        .select(col("doc_id").as("did"), col("ok"))
+    }),
+
+    // C5: salted join ≡ plain join, proven against the DuckDB plain join
+    "salted_join_demo" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("key"), col("l_orderkey"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("key"), col("p_name"))
+      Canonicalizer.saltedJoin(li, p, "key", "l_orderkey", k = 8)
+        .groupBy("key").agg(count(lit(1)).as("n"))
+    }),
+
+    // left-anti join (the resume/difference shape, SURVEY.md §2.6)
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
     }))
 
   def oracleSql: Map[String, String] = {
@@ -163,6 +253,43 @@ object SparkEntry {
           "SELECT o_custkey, o_orderkey, o_totalprice, " +
           "row_number() OVER (PARTITION BY o_custkey " +
           "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) " +
-          "WHERE rk <= 3"))
+          "WHERE rk <= 3"),
+
+      "q_rollup" ->
+        ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+          "round(sum(l_quantity), 4) AS qty FROM lineitem " +
+          "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+
+      "q_events_json" ->
+        ("SELECT event_type, " +
+          "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+          "count(*) AS n FROM events GROUP BY event_type"),
+
+      "dedup_exact" ->
+        ("SELECT md5(text) AS text_md5, count(*) AS n, " +
+          "min(doc_id) AS min_doc FROM documents GROUP BY md5(text)"),
+
+      "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
+      "text_stats" -> OracleSql.textStats,
+      "text_quality" -> OracleSql.textQuality,
+      "text_fingerprint" -> OracleSql.textFingerprint,
+      "lang_id" -> OracleSql.langId,
+      "emb_topk" -> OracleSql.embTopK,
+      "emb_dup_pairs" -> OracleSql.embDupPairs,
+
+      "ntriples_export" -> OracleSql.ntriplesExport,
+
+      "span_invariant" ->
+        (W(OracleCte.spansCte) +
+          "SELECT did, CAST(1 AS BOOLEAN) AS ok FROM " +
+          "(SELECT DISTINCT did FROM spans)"),
+
+      "salted_join_demo" ->
+        ("SELECT l_partkey AS key, count(*) AS n FROM lineitem " +
+          "JOIN part ON l_partkey = p_partkey GROUP BY l_partkey"),
+
+      "q_anti_join" ->
+        ("SELECT c_custkey, c_mktsegment FROM customer " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"))
   }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (builder prompt:
+  * language-ID, quality scoring, token counting, fingerprinting). All pure
+  * codegen'd expressions with exact DuckDB oracle twins. */
+object TextAnalysis {
+
+  /** Frozen stopword profiles for the language-ID heuristic. Tiny on
+    * purpose — this is the n-gram/stopword-profile family of heuristics,
+    * not a model. */
+  val StopwordProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is", "en" -> "and", "en" -> "of",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "une", "fr" -> "est",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "una", "es" -> "es")
+
+  /** English-ish stopwords used by the quality score. */
+  val QualityStopwords: Seq[String] = Seq("a", "the", "and", "of", "is")
+
+  /** Token statistics per document: token count, distinct tokens, char
+    * length, mean token length (exact, derived from char length —
+    * single-space-separated text). */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    docs.select(col(idCol).as("id"),
+      n.cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      length(col(textCol)).cast("bigint").as("n_chars"),
+      round((length(col(textCol)) - (n - 1)).cast("double") / n, 6)
+        .as("mean_tok_len"))
+  }
+
+  /** Frozen quality score in [0,1]:
+    * 0.4·min(1, n_tokens/50) + 0.3·(1 − stopword_ratio)
+    * + 0.3·min(1, mean_tok_len/8). Length, lexical density, and word-shape
+    * signals — the standard cheap pretraining-quality trio. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val stopArr = array(QualityStopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val meanLen = (length(col(textCol)) - (n - 1)).cast("double") / n
+    val ratio = nStop.cast("double") / n
+    docs.select(col(idCol).as("id"),
+      n.cast("bigint").as("n_tokens"),
+      round(ratio, 6).as("stopword_ratio"),
+      round(least(lit(1.0), n / lit(50.0)) * 0.4 +
+        (lit(1.0) - ratio) * 0.3 +
+        least(lit(1.0), meanLen / 8.0) * 0.3, 6).as("quality"))
+  }
+
+  /** Rolling polynomial (Karp–Rabin) document fingerprint:
+    * fold over characters of acc·31 + ascii(c) mod 2³¹−1. Sequential
+    * aggregate — order-exact, overflow-free (values < 2⁶², safe under
+    * ANSI), and expressible verbatim in DuckDB via list_reduce. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      aggregate(split(col(textCol), ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 2147483647L).as("fp"))
+
+  /** Language-ID heuristic: CJK codepoint check first, then argmax of
+    * stopword-profile hit counts (tie-break: lang asc); no hits → 'und'. */
+  def langId(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val profiles = broadcast(StopwordProfiles.toDF("lang", "word"))
+    val hits = base
+      .select(col("id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .join(profiles, col("tok") === col("word"))
+      .groupBy("id", "lang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"), col("lang"), col("score"))
+    base.join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("text").rlike("[一-鿿]"), lit("zh"))
+          .otherwise(coalesce(col("lang"), lit("und"))).as("lang_id"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+}

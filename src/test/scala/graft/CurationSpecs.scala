@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Dedup operator family: exact, MinHash-LSH, SimHash (builder prompt
+  * "Deduplication"). The probabilistic paths are tested for recall against
+  * the exact paths. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exact dedup partitions the corpus (counts sum to total)") {
+    val d = Dedup.exactByText(docs)
+    assert(d.agg(sum("n")).head.getLong(0) == docs.count())
+  }
+
+  test("minhash-LSH recall: finds every exact-jaccard pair ≥ 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, 3, 64, 16, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.25") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val est = Dedup.minHashLshPairs(docs, 3, 64, 16, 0.5)
+      .select($"a", $"b", $"est_jaccard").as[(Long, Long, Double)].collect()
+    est.filter(e => exact.contains((e._1, e._2))).foreach { e =>
+      assert(math.abs(e._3 - exact((e._1, e._2))) < 0.25,
+        s"pair (${e._1},${e._2}) est=${e._3} exact=${exact((e._1, e._2))}")
+    }
+  }
+
+  test("simhash: identical texts collide, hamming pairs are near-dups") {
+    val df = Seq(
+      (1L, "spark table scan fast query row value merge"),
+      (2L, "spark table scan fast query row value merge"), // identical
+      (3L, "spark table scan fast query row value sort"), // 1 token off
+      (4L, "a completely different set of words here entirely"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simHash(df).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simHashPairs(df, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("shingle stop-shingle pruning drops high-df shingles") {
+    val pruned = Dedup.shingles(docs, 3, maxDocFreq = 5)
+    val freqs = pruned.groupBy("shingle").count()
+    assert(freqs.filter(col("count") > 5).count() == 0)
+  }
+}
+
+/** Similarity search: brute-force exactness + LSH recall (builder prompt
+  * "Similarity search"). */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("cosine expression matches local double computation") {
+    val rows = emb.limit(3).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val sparkCos = Similarity.cosineDupPairs(
+        spark.createDataset(rows.toSeq).toDF("vec_id", "embedding"),
+        minCos = -2.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    def local(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (i <- rows.indices; j <- rows.indices if rows(i)._1 < rows(j)._1) {
+      val expect = local(rows(i)._2, rows(j)._2)
+      val got = sparkCos((rows(i)._1, rows(j)._1))
+      assert(math.abs(got - expect) < 1e-6, s"($i,$j): $got vs $expect")
+    }
+  }
+
+  test("brute-force top-k: rank-1 really is the max-cosine neighbor") {
+    val topk = Similarity.bruteForceTopK(emb, k = 1)
+      .select($"vec_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(topk.length == emb.count())
+    val all = Similarity.cosineDupPairs(emb, minCos = -2.0)
+      .as[(Long, Long, Double)].collect()
+    val bestOf = all.flatMap(t => Seq(t._1 -> t._3, t._2 -> t._3))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    topk.foreach { case (v, _, c) =>
+      assert(math.abs(c - bestOf(v)) < 1e-9, s"vec $v: $c vs ${bestOf(v)}")
+    }
+  }
+
+  test("LSH top-k has useful recall vs brute force and is self-consistent") {
+    val exact = Similarity.bruteForceTopK(emb, k = 5)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, k = 5, dim = 64, nPlanes = 6)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.3f (${approx.size} approx pairs)")
+    assert(recall > 0.2, f"recall collapsed: $recall%.3f")
+    assert(approx.nonEmpty)
+  }
+
+  test("LSH bucket ids are deterministic across evaluations") {
+    val b1 = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding", 64, 6).as("b")).collect()
+    val b2 = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding", 64, 6).as("b")).collect()
+    assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted))
+  }
+}
+
+/** Multimodal plumbing with the stub codec (builder prompt "Multimodal
+  * columns"): schema, batch shape, determinism. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val refs = Seq("m/1", "m/2", "m/3", "m/42", "m/alpha")
+    .toDF("media_ref")
+  private lazy val assets = Multimodal.synthesizeAssets(spark, refs).cache()
+
+  test("decode extracts the typed metadata the writer encoded") {
+    val metas = Multimodal.decodeMeta(spark, assets).collect()
+    assert(metas.length == 5)
+    metas.foreach { m =>
+      assert(m.width >= 64 && m.width < 1024, m.toString)
+      assert(m.height >= 64 && m.height < 604, m.toString)
+      assert(m.bytes_len == 12 + 64)
+      assert(m.media_type == "video" || m.n_frames == 1)
+    }
+  }
+
+  test("decode is deterministic (content-derived, no RNG)") {
+    val a = Multimodal.decodeMeta(spark, assets).collect().sortBy(_.media_ref)
+    val b = Multimodal.decodeMeta(spark,
+      Multimodal.synthesizeAssets(spark, refs)).collect().sortBy(_.media_ref)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("frame sampling: ~n_frames/stride rows per video, 1 per image") {
+    val metas = Multimodal.decodeMeta(spark, assets).collect()
+      .map(m => m.media_ref -> m).toMap
+    val frames = Multimodal.sampleFrames(spark, assets, stride = 10)
+      .collect().groupBy(_.media_ref)
+    metas.values.foreach { m =>
+      val expected = ((m.n_frames + 9) / 10).max(1)
+      assert(frames(m.media_ref).length == expected, m.toString)
+    }
+  }
+
+  test("resize plan preserves aspect ratio and caps the long side") {
+    val plan = Multimodal.resizePlan(Multimodal.decodeMeta(spark, assets), 256)
+      .collect()
+    plan.foreach { r =>
+      val (w, h, tw, th) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(tw <= 256 && th <= 256)
+      if (w.max(h) > 256) // rounding on a short side ≥16 px → rel err ≤ ~4%
+        assert(math.abs((tw.toDouble / th) / (w.toDouble / h) - 1) < 0.04,
+          s"($w,$h) -> ($tw,$th)")
+    }
+  }
+}
+
+/** Streaming shim: AvailableNow micro-batch ingest produces the same
+  * triple set as the batch pipeline (SURVEY.md §2.10). */
+class StreamingSpec extends SparkTestBase {
+
+  test("streamed construction equals batch construction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val docs = graft.sources.InterleavedDocs.synthesize(spark, 100L, seed = 9L)
+    docs.write.parquet(s"$tmp/in")
+
+    val q = graft.streaming.DocStream.run(spark, s"$tmp/in", s"$tmp/out",
+      s"$tmp/ckpt")
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$tmp/out/batch_id=0")
+      .select("subj", "pred", "obj", "obj_type")
+    val batch = Pipeline.triples(spark, docs)
+    // both sides are deduped sets → except (not exceptAll: its
+    // ReplicateRows rewrite hits a Spark 4.1 Generate-binding bug on this
+    // plan shape)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+}
