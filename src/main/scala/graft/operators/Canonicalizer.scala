@@ -39,9 +39,11 @@ object Canonicalizer {
       return unionFindLocal(spark, dedup)
 
     // large-star: for each u over the symmetrized neighborhood, connect all
-    // strictly larger neighbors to m = min(Γ(u) ∪ {u}).
+    // strictly larger neighbors to m = min(Γ(u) ∪ {u}). Intermediate
+    // duplicates are tolerated (groupBy-min is dup-safe); only the final
+    // projection dedups — saves one full shuffle per half-round.
     def largeStar(e: DataFrame): DataFrame = {
-      val und = e.union(e.select(dst.as("src"), src.as("dst"))).distinct()
+      val und = e.union(e.select(dst.as("src"), src.as("dst")))
       val mins = und.groupBy("src").agg(least(min(dst), first(src)).as("m"))
       und.join(mins, "src")
         .filter(dst > src)
@@ -54,7 +56,7 @@ object Canonicalizer {
     // u itself to m = min of them.
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(src, dst).as("src"), least(src, dst).as("dst"))
-        .filter(src =!= dst).distinct()
+        .filter(src =!= dst)
       val mins = dir.groupBy("src").agg(min(dst).as("m"))
       val rewired = dir.join(mins, "src")
         .select(dst.as("src"), col("m").as("dst"))
@@ -76,13 +78,19 @@ object Canonicalizer {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      var next = smallStar(largeStar(cur))
-      next = if ((i + 1) % checkpointEvery == 0) {
-        if (hasCkptDir) next.checkpoint() else next.localCheckpoint()
-      } else next.cache()
+      // materialize every round: truncates the iterative plan's lineage
+      // (no 2^k plan blowup) and makes the convergence checksum a cheap
+      // scan of materialized blocks. A reliable checkpoint dir is used
+      // when configured (cluster mode, BASELINE.json:14); local mode uses
+      // executor-local blocks.
+      val next =
+        if (hasCkptDir && (i + 1) % checkpointEvery == 0)
+          smallStar(largeStar(cur)).checkpoint()
+        else smallStar(largeStar(cur)).localCheckpoint()
       val cs = checksum(next)
       converged = cs == prev
       prev = cs
+      if (i > 0) cur.unpersist()
       cur = next
       i += 1
     }
