@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Pin the whole JVM (GC threads, common pools) to the benched core
+  // count: otherwise a local[8] run silently uses all machine cores for
+  // GC/IO and the N→4N scaling measurement is skewed.
+  sys.env.get("SPARK_GRAFT_CPUS").map(c => s"-XX:ActiveProcessorCount=$c")

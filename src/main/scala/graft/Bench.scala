@@ -13,10 +13,10 @@ import graft.sources.{InterleavedDocs, TripleSink}
   *
   * Headline workloads, chosen to exercise the paths that dominate at
   * corpus scale (BASELINE.md protocol):
-  *  - kg_100k_write: the full construction pipeline INCLUDING the bucketed
+  *  - kg_write: the full construction pipeline INCLUDING the bucketed
   *    materialization, on a 100k-doc synthesized corpus with 2% head-entity
   *    skew — the north-star throughput number (triples-emitted/sec is
-  *    reported as the pseudo-query `triples_per_sec_100k`).
+  *    reported as the pseudo-query `triples_per_sec`).
   *  - kg_sfdocs: pipeline (no write) over the sf-dir-derived docs table.
   *  - cc_600k: distributed large-star/small-star connected components on a
   *    600k-edge hash-derived graph (the at-scale CC path, not the
@@ -35,6 +35,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-split sizing for the SMALL bench corpora: the defaults
+      // (128MB splits + 4MB file-open cost) coalesce a ~150MB corpus into
+      // ~3 scan partitions, capping the narrow scan→explode→match chain at
+      // 3 tasks regardless of cores. 8MB/512KB keeps scans ≳cores wide
+      // here; at real corpus scale the defaults already give thousands of
+      // tasks and these knobs belong in scripts/run_cluster.sh.
+      .config("spark.sql.files.maxPartitionBytes", 8L * 1024 * 1024)
+      .config("spark.sql.files.openCostInBytes", 512L * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,20 +54,33 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // 1. north star: full pipeline + bucketed write, 100k docs, 2% skew.
-    // Corpus generation is untimed setup (materialized to parquet first)
-    // so the metric is pure read → construct → materialize throughput.
+    // 1. north star: full pipeline + bucketed write, `SPARK_GRAFT_BENCH_DOCS`
+    // docs (default 100k), 2% head skew. Corpus generation is untimed setup
+    // (materialized to parquet first) so the metric is pure
+    // read → construct → materialize throughput. The scaling protocol
+    // (tools/bench_scaling.sh) sets 1M docs so the run is compute-bound
+    // rather than job-overhead-bound.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val docsPath = Files.createTempDirectory("graft-bench-docs").toString
-    InterleavedDocs.synthesize(spark, 100000L, seed = 42L, skewPct = 2)
+    InterleavedDocs.synthesize(spark, nDocs, seed = 42L, skewPct = 2)
       .write.mode("overwrite").parquet(docsPath)
+    // untimed in-JVM warm-up: JIT + codegen-compile every pipeline path on
+    // a 20k-doc slice so the timed number isn't dominated by first-job
+    // compilation (measured ±50% between cold JVMs otherwise)
+    locally {
+      val warmOut = Files.createTempDirectory("graft-bench-warm").toString
+      val warmDocs = InterleavedDocs.readDocs(spark, docsPath).limit(20000)
+      TripleSink.writeTriples(spark,
+        Pipeline.triples(spark, warmDocs), warmOut)
+    }
     val (tWrite, nTriples) = timed {
       val out = Files.createTempDirectory("graft-bench-sink").toString
       val docs = InterleavedDocs.readDocs(spark, docsPath)
       val triples = Pipeline.triples(spark, docs)
       TripleSink.writeTriples(spark, triples, out).map(_.rows).sum
     }
-    results += "kg_100k_write" -> tWrite
-    results += "triples_per_sec_100k" -> (nTriples / tWrite).round.toDouble
+    results += "kg_write" -> tWrite
+    results += "triples_per_sec" -> (nTriples / tWrite).round.toDouble
 
     // 2. pipeline over the sf-dir docs (no materialization)
     val (tSf, _) = timed {
@@ -96,7 +117,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.filterNot(_._1 == "triples_per_sec_100k").values.sum
+    val total = results.filterNot(_._1 == "triples_per_sec").values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,20 +56,59 @@ object Pipeline {
       sameAs: Seq[SameAsEdge] = Spec.SameAs,
       observeMetrics: Boolean = false): DataFrame = {
     import spark.implicits._
-    val links = canonicalLinks(spark, docs, gazetteer,
-      spark.createDataset(sameAs))
 
-    val assembled = links.select(
-      when(col("link_kind") === "label", Spec.entUriCol(col("entity_id")))
-        .otherwise(Spec.docUriCol(col("doc_id"))).as("subj"),
-      col("pred"),
-      when(col("link_kind") === "text_mention", Spec.entUriCol(col("entity_id")))
-        .when(col("link_kind") === "media", Spec.mediaUriCol(col("entity_id")))
-        .otherwise(col("surface")).as("obj"),
-      when(col("link_kind") === "label", lit("literal")).otherwise(lit("iri"))
-        .as("obj_type"))
+    val exploded = SpanOps.wellFormed(SpanOps.explodeSpans(docs))
+    val cands = GazetteerMatcher.candidates(spark, SpanOps.textSpans(exploded),
+      gazetteer)
+    val kept = Linker.top1(cands)
+    val components = Canonicalizer.connectedComponents(spark,
+      spark.createDataset(sameAs).toDF("src", "dst"))
+    val canon = Canonicalizer.remap(kept, "entity_id", components)
 
-    val deduped = assembled.dropDuplicates("subj", "pred", "obj")
+    // G4 dedup happens BEFORE URI minting on the narrow natural keys —
+    // far cheaper than deduping full minted-URI strings. The single
+    // distinct collapses per-doc mention repetition (map-side combine) in
+    // ONE pass over the matcher output; it is cached because three small
+    // aggregates below consume it (without the cache each would recompute
+    // the whole match+top1+remap chain).
+    val base = canon.select(col("doc_id"), col("entity_id"), col("surface"))
+      .distinct().cache()
+
+    val mentions = base.select("doc_id", "entity_id").distinct()
+      .withColumn("link_kind", lit("text_mention"))
+    val labels = base.select("entity_id", "surface").distinct()
+      .withColumn("link_kind", lit("label"))
+    val media = SpanOps.mediaSpans(exploded)
+      .select(col("doc_id"), col("media_ref").as("entity_id")).distinct()
+      .withColumn("link_kind", lit("media"))
+
+    // Salted-hash URIs are minted once per DISTINCT canonical entity (a
+    // dimension-sized set), then joined back — not sha2'd per corpus row.
+    // Broadcast at gazetteer-bounded cardinality; swap for a sort-merge
+    // join on open-world entity vocabularies.
+    val entUris = broadcast(base.select("entity_id").distinct()
+      .withColumn("ent_uri", Spec.entUriCol(col("entity_id"))))
+
+    // M7 predicate mapping via the broadcast predicate dimension
+    val mentionTriples = Linker.mapPredicates(spark,
+        mentions.join(entUris, "entity_id"))
+      .select(Spec.docUriCol(col("doc_id")).as("subj"), col("pred"),
+        col("ent_uri").as("obj"), lit("iri").as("obj_type"))
+    val labelTriples = Linker.mapPredicates(spark,
+        labels.join(entUris, "entity_id"))
+      .select(col("ent_uri").as("subj"), col("pred"),
+        col("surface").as("obj"), lit("literal").as("obj_type"))
+    val mediaTriples = Linker.mapPredicates(spark, media)
+      .select(Spec.docUriCol(col("doc_id")).as("subj"), col("pred"),
+        Spec.mediaUriCol(col("entity_id")).as("obj"),
+        lit("iri").as("obj_type"))
+
+    // Each branch is internally distinct and the three predicates are
+    // disjoint, so the union IS the deduped (subj, pred, obj) set — no
+    // final corpus-wide dropDuplicates shuffle needed (exact set
+    // semantics, BASELINE.json:2).
+    val deduped = mentionTriples.unionByName(labelTriples)
+      .unionByName(mediaTriples)
     // observe() is opt-in: a CollectMetrics node upstream of further plan
     // composition (exceptAll, streaming foreachBatch) mis-binds attributes
     // in GenerateExec on Spark 4.1 — enable it only when the returned df

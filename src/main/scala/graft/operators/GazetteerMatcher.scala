@@ -148,19 +148,25 @@ object GazetteerMatcher {
     * Runs per-partition (typed mapPartitions — stays a Dataset op,
     * no RDD; SURVEY.md §2.11). */
   def candidates(spark: SparkSession, textSpans: DataFrame,
-      entries: Seq[GazEntry]): Dataset[CandidateLink] = {
+      entries: Seq[GazEntry],
+      counters: Option[graft.Metrics.MatcherCounters] = None)
+      : Dataset[CandidateLink] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ACAutomaton.build(entries))
     textSpans.select("doc_id", "pos", "text").as[(String, Int, String)]
       .mapPartitions { it =>
         val ac = bc.value
         it.flatMap { case (docId, pos, text) =>
-          if (text == null || text.isEmpty) Iterator.empty
-          else {
+          counters.foreach(_.textSpans.add(1))
+          if (text == null || text.isEmpty) {
+            counters.foreach(_.emptySpans.add(1))
+            Iterator.empty
+          } else {
             val toks = tokenize(text)
             val kept = resolveOverlaps(ac.matches(toks.map(_._1)), toks, ac)
             kept.iterator.flatMap { case (ts, te, pid) =>
               val p = ac.patterns(pid)
+              counters.foreach(_.mentions.add(1))
               val begin = toks(ts)._2
               val end = toks(te - 1)._2 + toks(te - 1)._1.length
               p.entities.iterator.map { case (eid, prior) =>

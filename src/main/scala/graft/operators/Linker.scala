@@ -11,16 +11,26 @@ object Linker {
 
   /** M5: top-1 candidate per mention (doc_id, span_pos, begin), frozen
     * tie-break (score desc, entity_id asc); threshold τ = 0.0 (FIXTURES.md
-    * §4). Window + row_number — deterministic. */
-  def top1(candidates: Dataset[CandidateLink]): DataFrame = {
-    val w = Window.partitionBy("doc_id", "span_pos", "begin")
-      .orderBy(col("score").desc, col("entity_id").asc)
+    * §4).
+    *
+    * Implemented as min_by over the composite order key (−score,
+    * entity_id) — a HASH aggregate with map-side partial combine, not a
+    * window: a row_number window would shuffle-and-SORT every candidate
+    * row globally, while the aggregate collapses per-mention groups before
+    * the exchange. Deterministic: the order key is unique per group (one
+    * row per mention × entity). */
+  def top1(candidates: Dataset[CandidateLink]): DataFrame =
     candidates.toDF()
       .filter(col("score") >= Spec.ScoreThreshold)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy("doc_id", "span_pos", "begin")
+      .agg(min_by(
+        struct(col("end"), col("surface"), col("entity_id"), col("prior"),
+          col("score")),
+        struct((-col("score")).as("negscore"), col("entity_id"))).as("best"))
+      .select(col("doc_id"), col("span_pos"), col("begin"),
+        col("best.end").as("end"), col("best.surface").as("surface"),
+        col("best.entity_id").as("entity_id"), col("best.prior").as("prior"),
+        col("best.score").as("score"))
 
   /** M6: media passthrough links — a media span links directly to its
     * media_ref, no scoring (BASELINE.json:6 "media_ref passthrough

@@ -14,9 +14,9 @@ import org.apache.spark.sql.graft.VectorFunctions.vdot
   *
   * Kernel design: vectors are cast to double and L2-normalized ONCE per
   * row; every pairwise similarity is then a single codegen'd
-  * [[graft.functions.DoubleDot]] (Spark's higher-order lambdas are
-  * interpreted — measured ~50µs/pair vs ~0.1µs for the codegen'd loop).
-  * Accumulation order matches the DuckDB oracle bit-for-bit.
+  * [[org.apache.spark.sql.graft.DoubleDot]] (Spark's higher-order lambdas
+  * are interpreted — measured ~50µs/pair vs ~0.1µs for the codegen'd
+  * loop). Accumulation order matches the DuckDB oracle bit-for-bit.
   */
 object Similarity {
 

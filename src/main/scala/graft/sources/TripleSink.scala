@@ -75,20 +75,24 @@ object TripleSink {
     val target = onlyBuckets.map(_.intersect(remaining)).getOrElse(remaining)
     if (target.isEmpty) return Seq.empty
 
-    val bucketed = withSubjectBucket(triples, buckets)
+    // Cache BEFORE repartitionByRange: the range partitioner runs a
+    // sampling pass over its child — uncached, that would recompute the
+    // entire upstream pipeline a second time.
+    val withBucket = withSubjectBucket(triples, buckets)
       .filter(col("subj_bucket").isin(target.toSeq: _*))
-      // C6: spread the subject space, cluster within files by subject
-      .repartitionByRange(col("subj_bucket"), col("subj"))
-      .sortWithinPartitions("subj", "pred", "obj")
       .cache()
 
-    bucketed.write
+    // C6: spread the subject space, cluster within files by subject
+    withBucket
+      .repartitionByRange(col("subj_bucket"), col("subj"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("subj_bucket")
       .parquet(path)
 
-    val lineage = bucketed
+    val lineage = withBucket
       .groupBy("subj_bucket")
       // bit_xor: order-independent content checksum that cannot overflow
       // under ANSI mode (a long sum would throw)
@@ -98,7 +102,7 @@ object TripleSink {
       .collect()
       .map(r => BucketLineage(r.getInt(0), r.getLong(1), r.getLong(2)))
       .toSeq
-    bucketed.unpersist()
+    withBucket.unpersist()
     // buckets that had zero rows are still complete
     val empty = (target -- lineage.map(_.bucket).toSet).toSeq.sorted
       .map(b => BucketLineage(b, 0L, 0L))

@@ -18,20 +18,20 @@ def load(cpus):
 
 m8, t8, sf = load(8)
 m32, t32, _ = load(32)
-thr8, thr32 = m8["triples_per_sec_100k"], m32["triples_per_sec_100k"]
+thr8, thr32 = m8["triples_per_sec"], m32["triples_per_sec"]
 eff = (thr32 / thr8) / 4
 
 lines = [
     "# BENCH/BASELINE.md — measured baseline (this engine)",
     "",
-    f"Input: `{sf}` + synthesized 100k-doc interleaved corpus (2% head skew).",
+    f"Input: `{sf}` + synthesized interleaved corpus (2% head skew).",
     "Protocol: 1 discarded warm-up + 3 timed runs per parallelism; medians.",
     "",
     "| workload | local[8] s | local[32] s | speedup |",
     "| --- | --- | --- | --- |",
 ]
 for k in m8:
-    if k == "triples_per_sec_100k":
+    if k == "triples_per_sec":
         continue
     sp = m8[k] / m32[k] if m32[k] else float("nan")
     lines.append(f"| {k} | {m8[k]:.2f} | {m32[k]:.2f} | {sp:.2f}× |")
