@@ -61,9 +61,20 @@ object Pipeline {
     val cands = GazetteerMatcher.candidates(spark, SpanOps.textSpans(exploded),
       gazetteer)
     val kept = Linker.top1(cands)
-    val components = Canonicalizer.connectedComponents(spark,
-      spark.createDataset(sameAs).toDF("src", "dst"))
-    val canon = Canonicalizer.remap(kept, "entity_id", components)
+    // sameAs arrives here as an in-memory Seq (dimension-sized by
+    // definition): C3 runs as driver union-find and C4 as a literal-map
+    // expression — zero extra Spark jobs. Corpus-scale edge sets go
+    // through canonicalLinks/connectedComponents (iterative star joins).
+    val canonMap = Canonicalizer.componentsLocal(
+      sameAs.map(e => (e.src_entity, e.dst_entity)))
+    val canon =
+      if (canonMap.isEmpty) kept
+      else {
+        val m = map(canonMap.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        kept.withColumn("entity_id",
+          coalesce(element_at(m, col("entity_id")), col("entity_id")))
+      }
 
     // G4 dedup happens BEFORE URI minting on the narrow natural keys —
     // far cheaper than deduping full minted-URI strings. The single

@@ -103,12 +103,9 @@ object Canonicalizer {
       .distinct()
   }
 
-  /** Driver-side union-find over a broadcast-sized, deduped edge set;
-    * same output contract as [[connectedComponents]]. */
-  private def unionFindLocal(spark: SparkSession,
-      dedup: DataFrame): DataFrame = {
-    import spark.implicits._
-    val es = dedup.as[(String, String)].collect()
+  /** Plain-Scala union-find over an in-memory edge list: node → component
+    * min. Used for fixture/dimension-sized sameAs sets — zero Spark jobs. */
+  def componentsLocal(edges: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x: String): String = {
       var r = x
@@ -117,14 +114,24 @@ object Canonicalizer {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    es.foreach { case (a, b) =>
+    edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // union by min id keeps canonical = component min
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-    spark.createDataset(nodes.toSeq.sorted.map(n => (n, find(n))))
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
+  /** Driver-side union-find over a broadcast-sized, deduped edge set;
+    * same output contract as [[connectedComponents]]. */
+  private def unionFindLocal(spark: SparkSession,
+      dedup: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = dedup.as[(String, String)].collect()
+    val canon = componentsLocal(es.toSeq)
+    spark.createDataset(canon.toSeq.sortBy(_._1))
       .toDF("entity_id", "canonical")
   }
 

@@ -37,7 +37,7 @@ for k in m8:
     lines.append(f"| {k} | {m8[k]:.2f} | {m32[k]:.2f} | {sp:.2f}× |")
 lines += [
     "",
-    f"**North-star throughput (full pipeline incl. bucketed write, 100k docs):**",
+    f"**North-star throughput (full pipeline incl. bucketed write, 1M docs):**",
     f"- local[8]:  **{thr8:,.0f} triples/sec**",
     f"- local[32]: **{thr32:,.0f} triples/sec**",
     f"- scaling efficiency (8→32 cores, N→4N substitute): "
