@@ -1,6 +1,6 @@
 package graft
 
-import graft.model.OracleCte
+import graft.model.{OracleCte, Spec}
 
 /** DuckDB oracle SQL for the non-trivial pipeline stages.
   *
@@ -120,7 +120,10 @@ object OracleSql {
 
   // ----- training-data curation oracles ---------------------------------
 
-  /** Word-3-gram shingle sets per doc (mirrors Dedup.shingles, n=3). */
+  /** Word-3-gram shingle sets per doc (mirrors Dedup.shingles, n=3,
+    * including the len(w) >= 3 short-doc guard), plus the stop-shingle
+    * pruning mirror: `shp` keeps only shingles whose doc frequency is ≤
+    * Spec.DedupMaxDocFreq, exactly like the Spark side's freq join. */
   private val shinglesCte: String =
     """sh AS (
       |  SELECT DISTINCT doc_id AS id,
@@ -130,19 +133,115 @@ object OracleSql {
       |  WHERE len(w) >= 3
       |)""".stripMargin
 
+  private val prunedShinglesCtes: Seq[String] = Seq(
+    shinglesCte,
+    s"""shf AS (SELECT shingle FROM sh GROUP BY shingle
+       | HAVING count(*) <= ${Spec.DedupMaxDocFreq})""".stripMargin
+      .replace("\n", ""),
+    "shp AS (SELECT sh.id, sh.shingle FROM sh JOIN shf USING (shingle))")
+
   val ngramJaccard: String =
-    OracleCte.withClause(shinglesCte,
-      "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)",
+    OracleCte.withClause(prunedShinglesCtes ++ Seq(
+      "sizes AS (SELECT id, count(*) AS sz FROM shp GROUP BY id)",
       """inter AS (
         |  SELECT x.id AS a, y.id AS b, count(*) AS i
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+        |  FROM shp x JOIN shp y ON x.shingle = y.shingle AND x.id < y.id
         |  GROUP BY 1, 2
-        |)""".stripMargin) +
+        |)""".stripMargin): _*) +
       """SELECT a, b,
         | round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
         | FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
         | WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.8"""
         .stripMargin.replace("\n", "")
+
+  /** MinHash + LSH banding oracle: the exact twin of
+    * Dedup.minHashLshPairs(n=3, numHashes=64, bands=16, minEst=0.5,
+    * maxDocFreq=Spec.DedupMaxDocFreq, portable=true). Slot hash =
+    * first 15 hex chars of md5("<j>:<shingle>") parsed base-16 (60 bits,
+    * overflow-safe in both engines); band key = '_'-joined slot values;
+    * est_jaccard = equal-slot fraction (Spark counts with the codegen'd
+    * LongSlotEq; count/64 is exact in binary, so round(…,6) agrees). */
+  val minHashLsh: String = {
+    val numHashes = 64; val bands = 16; val rows = numHashes / bands
+    val slots = (0 until numHashes).map(j =>
+      s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j")
+      .mkString(", ")
+    val sigList = (0 until numHashes).map(j => s"h$j").mkString("[", ", ", "]")
+    OracleCte.withClause(prunedShinglesCtes ++ Seq(
+      s"""sig AS (SELECT id, $sigList AS sig FROM
+         | (SELECT id, $slots FROM shp GROUP BY id))""".stripMargin
+        .replace("\n", ""),
+      s"""banded AS (
+         |  SELECT id, b.band,
+         |    array_to_string(list_slice(sig, b.band * $rows + 1,
+         |      b.band * $rows + $rows), '_') AS bandkey
+         |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) b
+         |)""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b FROM banded x JOIN banded y
+        |  ON x.band = y.band AND x.bandkey = y.bandkey AND x.id < y.id
+        |)""".stripMargin): _*) +
+      s"""SELECT a, b, est_jaccard FROM (
+         | SELECT c.a, c.b,
+         |   round(CAST(len(list_filter(range(1, ${numHashes + 1}),
+         |     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes, 6)
+         |     AS est_jaccard
+         | FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b)
+         | WHERE est_jaccard >= 0.5""".stripMargin.replace("\n", "")
+  }
+
+  /** SimHash near-dup oracle: brute-force all-pairs Hamming ≤ 3 over the
+    * portable md5-bit SimHash (Dedup.PortableMd5Hasher twin). Spark's
+    * block-pair banding finds exactly this set (pigeonhole recall proof in
+    * Dedup.simHashPairs scaladoc), so brute force over the small oracle
+    * corpus is semantically identical. Bit b of a token hash = bit (b mod
+    * 4) of md5 hex digit b/4; per-doc bit = sign of the ±1 sum. */
+  val simHashPairs: String = {
+    val maxHamming = 3
+    val bitCols = (0 until 64).map { b =>
+      val digit = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"CASE WHEN sum(CASE WHEN (($digit >> ${b % 4}) & 1) = 1" +
+        " THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    OracleCte.withClause(
+      """toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |)""".stripMargin,
+      "th AS (SELECT id, md5(tok) AS h FROM toks WHERE tok <> '')",
+      s"bits AS (SELECT id, $bitCols AS bv FROM th GROUP BY id)") +
+      s"""SELECT a, b, hamming FROM (
+         | SELECT x.id AS a, y.id AS b,
+         |   CAST(len(list_filter(range(1, 65),
+         |     i -> substr(x.bv, i, 1) <> substr(y.bv, i, 1))) AS BIGINT)
+         |     AS hamming
+         | FROM bits x JOIN bits y ON x.id < y.id)
+         | WHERE hamming <= $maxHamming""".stripMargin.replace("\n", "")
+  }
+
+  /** Stub-codec decode oracle: Multimodal.synthesizeAssets derives all
+    * metadata deterministically from seed = JavaString.hashCode(media_ref)
+    * & 0x7fffffff — reproduced here as the 31-fold over char codes mod
+    * 2^32 (Java int wrap), low 31 bits. bytes_len = 12-byte header + 64
+    * payload bytes. */
+  val mediaDecode: String =
+    OracleCte.withClause(OracleCte.spansCte,
+      """assets AS (
+        |  SELECT media_ref,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(media_ref, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 4294967296) % 2147483648 AS seed
+        |  FROM (SELECT DISTINCT media_ref FROM spans WHERE kind = 'media')
+        |)""".stripMargin) +
+      """SELECT media_ref,
+        | CASE WHEN seed % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+        | CAST(64 + seed % 960 AS BIGINT) AS width,
+        | CAST(64 + (seed // 7) % 540 AS BIGINT) AS height,
+        | CAST(CASE WHEN seed % 3 = 0 THEN 1 + seed % 30 ELSE 1 END AS BIGINT)
+        |   AS n_frames,
+        | CAST(76 AS BIGINT) AS bytes_len
+        | FROM assets""".stripMargin.replace("\n", "")
 
   val textStats: String =
     """SELECT doc_id AS id,

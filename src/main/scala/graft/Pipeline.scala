@@ -21,60 +21,56 @@ import graft.operators.{Canonicalizer, GazetteerMatcher, Linker, SpanOps}
   */
 object Pipeline {
 
-  /** Links of all kinds, canonicalized, with predicate IRIs attached —
-    * the last relational step before triple assembly. */
-  def canonicalLinks(spark: SparkSession, docs: Dataset[Doc],
-      gazetteer: Seq[GazEntry], sameAs: Dataset[SameAsEdge]): DataFrame = {
-    val exploded = SpanOps.wellFormed(SpanOps.explodeSpans(docs))
-    val cands = GazetteerMatcher.candidates(spark, SpanOps.textSpans(exploded),
-      gazetteer)
-    val kept = Linker.top1(cands)
-
-    val components = Canonicalizer.connectedComponents(spark,
-      sameAs.toDF("src", "dst"))
-    val canon = Canonicalizer.remap(kept, "entity_id", components)
-
-    val textLinks = canon.select(col("doc_id"), col("span_pos"),
-      col("entity_id"), col("surface"), lit("text_mention").as("link_kind"))
-    val mediaL = Linker.mediaLinks(SpanOps.mediaSpans(exploded))
-      .select(col("doc_id"), col("span_pos"),
-        col("media_ref").as("entity_id"), lit(null).cast("string").as("surface"),
-        lit("media").as("link_kind"))
-    val labelLinks = canon.select(col("entity_id"), col("surface")).distinct()
-      .select(lit(null).cast("string").as("doc_id"),
-        lit(-1).as("span_pos"), col("entity_id"), col("surface"),
-        lit("label").as("link_kind"))
-
-    Linker.mapPredicates(spark,
-      textLinks.unionByName(mediaL).unionByName(labelLinks))
-  }
-
   /** Full pipeline: triples with exact set semantics (distinct on
-    * (subj, pred, obj) — P/R is set-based, BASELINE.json:2). */
+    * (subj, pred, obj) — P/R is set-based, BASELINE.json:2).
+    *
+    * `atScale = false` (default) uses the dimension-fixture fast paths:
+    * sameAs is an in-memory Seq (dimension-sized by definition), so C3
+    * runs as driver union-find, C4 as a literal-map expression and M7 as a
+    * literal-map lookup — zero extra Spark jobs. `atScale = true` swaps in
+    * the corpus-scale operator variants — distributed large-star/small-star
+    * connected components, join-based canonical remap, broadcast-join
+    * predicate mapping — for open-world entity vocabularies where none of
+    * those fit on the driver. Both variants emit the identical triple set
+    * and both are verified against the same DuckDB oracle
+    * (`triples_final` / `triples_dist_cc`). */
   def triples(spark: SparkSession, docs: Dataset[Doc],
       gazetteer: Seq[GazEntry] = Spec.Gazetteer,
       sameAs: Seq[SameAsEdge] = Spec.SameAs,
-      observeMetrics: Boolean = false): DataFrame = {
+      observeMetrics: Boolean = false,
+      atScale: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val exploded = SpanOps.wellFormed(SpanOps.explodeSpans(docs))
     val cands = GazetteerMatcher.candidates(spark, SpanOps.textSpans(exploded),
       gazetteer)
     val kept = Linker.top1(cands)
-    // sameAs arrives here as an in-memory Seq (dimension-sized by
-    // definition): C3 runs as driver union-find and C4 as a literal-map
-    // expression — zero extra Spark jobs. Corpus-scale edge sets go
-    // through canonicalLinks/connectedComponents (iterative star joins).
-    val canonMap = Canonicalizer.componentsLocal(
-      sameAs.map(e => (e.src_entity, e.dst_entity)))
     val canon =
-      if (canonMap.isEmpty) kept
-      else {
-        val m = map(canonMap.toSeq.sortBy(_._1)
-          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        kept.withColumn("entity_id",
-          coalesce(element_at(m, col("entity_id")), col("entity_id")))
+      if (atScale) {
+        val edges = spark.createDataset(sameAs)
+          .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
+        val components = Canonicalizer.connectedComponents(spark, edges,
+          smallGraphThreshold = 0L)
+        Canonicalizer.remap(kept, "entity_id", components)
+      } else {
+        val canonMap = Canonicalizer.componentsLocal(
+          sameAs.map(e => (e.src_entity, e.dst_entity)))
+        if (canonMap.isEmpty) kept
+        else {
+          val m = map(canonMap.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+          kept.withColumn("entity_id",
+            coalesce(element_at(m, col("entity_id")), col("entity_id")))
+        }
       }
+
+    // M7 predicate mapping: literal-map expression on the fast path,
+    // broadcast-join against the predicate dimension on the at-scale path.
+    val mapPreds: DataFrame => DataFrame =
+      if (atScale) {
+        val predMap = Spec.PredicateMap.toSeq.toDF("link_kind", "pred")
+        df => Linker.mapPredicatesJoin(spark, df, predMap)
+      } else df => Linker.mapPredicates(spark, df)
 
     // G4 dedup happens BEFORE URI minting on the narrow natural keys —
     // far cheaper than deduping full minted-URI strings. The single
@@ -100,16 +96,13 @@ object Pipeline {
     val entUris = broadcast(base.select("entity_id").distinct()
       .withColumn("ent_uri", Spec.entUriCol(col("entity_id"))))
 
-    // M7 predicate mapping via the broadcast predicate dimension
-    val mentionTriples = Linker.mapPredicates(spark,
-        mentions.join(entUris, "entity_id"))
+    val mentionTriples = mapPreds(mentions.join(entUris, "entity_id"))
       .select(Spec.docUriCol(col("doc_id")).as("subj"), col("pred"),
         col("ent_uri").as("obj"), lit("iri").as("obj_type"))
-    val labelTriples = Linker.mapPredicates(spark,
-        labels.join(entUris, "entity_id"))
+    val labelTriples = mapPreds(labels.join(entUris, "entity_id"))
       .select(col("ent_uri").as("subj"), col("pred"),
         col("surface").as("obj"), lit("literal").as("obj_type"))
-    val mediaTriples = Linker.mapPredicates(spark, media)
+    val mediaTriples = mapPreds(media)
       .select(Spec.docUriCol(col("doc_id")).as("subj"), col("pred"),
         Spec.mediaUriCol(col("entity_id")).as("obj"),
         lit("iri").as("obj_type"))

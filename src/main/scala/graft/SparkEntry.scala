@@ -81,15 +81,27 @@ object SparkEntry {
       candidates(s, dir).select(col("entity_id")).distinct()
         .select(col("entity_id"), Spec.entUriCol(col("entity_id")).as("uri"))),
 
-    // C3: connected components over the sameAs fixture (large-star /
-    // small-star iterative joins)
+    // C3: connected components over the sameAs fixture. smallGraphThreshold
+    // = 0 forces the DISTRIBUTED large-star/small-star iterative-join path,
+    // so this driver-verified row certifies the at-scale algorithm (the
+    // broadcast union-find fast path is property-tested to agree in
+    // ConnectedComponentsSpec).
     "cc_components" -> ((s, dir) =>
       Canonicalizer.connectedComponents(s,
-        InterleavedDocs.sameAs(s).toDF("src", "dst"))),
+        InterleavedDocs.sameAs(s).toDF("src", "dst"),
+        smallGraphThreshold = 0L)),
 
     // G1–G4: the full pipeline, final deduped triple set
     "triples_final" -> ((s, dir) =>
       Pipeline.triples(s, docs(s, dir))
+        .select("subj", "pred", "obj", "obj_type")),
+
+    // G1–G4 at-scale variant: identical triple set via the corpus-scale
+    // operator paths — distributed CC (star joins), join-based canonical
+    // remap, broadcast-join predicate mapping. Checked against the SAME
+    // oracle as triples_final.
+    "triples_dist_cc" -> ((s, dir) =>
+      Pipeline.triples(s, docs(s, dir), atScale = true)
         .select("subj", "pred", "obj", "obj_type")),
 
     // --- demos over the driver-shipped star schema (join/agg/window) ----
@@ -137,17 +149,20 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
-        n = 3, minJaccard = 0.8)),
+        n = 3, minJaccard = 0.8, maxDocFreq = Spec.DedupMaxDocFreq)),
 
-    // MinHash-LSH: probabilistic recall — rows-only check here, recall
-    // property-tested against the exact pairs in DedupSpec
+    // MinHash-LSH with portable (md5-derived) slot hashes: banding join,
+    // stop-shingle pruning and the codegen'd slot-agreement verify kernel
+    // are all hash-checked against the DuckDB oracle; recall vs the exact
+    // pairs is additionally property-tested in DedupSpec.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
-        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5)),
+        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5,
+        maxDocFreq = Spec.DedupMaxDocFreq, portable = true)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
-        maxHamming = 3)),
+        maxHamming = 3, hasher = Dedup.PortableMd5Hasher)),
 
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
@@ -175,10 +190,17 @@ object SparkEntry {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 5, dim = 64, nPlanes = 6)),
 
-    // multimodal plumbing (stub codec, deterministic): rows-only
+    // multimodal plumbing (stub codec, deterministic — the oracle
+    // reproduces the seed arithmetic, so the decode plumbing is
+    // hash-checked end-to-end)
     "media_decode" -> ((s, dir) => {
       val refs = SpanOps.mediaSpans(SpanOps.explodeSpans(docs(s, dir)))
       Multimodal.decodeMeta(s, Multimodal.synthesizeAssets(s, refs)).toDF()
+        .select(col("media_ref"), col("media_type"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("bytes_len"))
     }),
 
     // S6: sorted N-Triples text export of the final triple set
@@ -237,6 +259,9 @@ object SparkEntry {
 
       "triples_final" -> OracleSql.triplesFinal,
 
+      // identical output contract to triples_final, via the at-scale paths
+      "triples_dist_cc" -> OracleSql.triplesFinal,
+
       "q_lineitem_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
@@ -260,9 +285,13 @@ object SparkEntry {
           "round(sum(l_quantity), 4) AS qty FROM lineitem " +
           "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
 
+      // outer CAST: DuckDB sum(BIGINT) returns HUGEINT (int128), which the
+      // driver's hasher canonicalizes differently from Spark's int64 —
+      // rows/values matched in round 1 but the hash didn't
       "q_events_json" ->
         ("SELECT event_type, " +
-          "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+          "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) " +
+          "AS BIGINT) AS sum_k, " +
           "count(*) AS n FROM events GROUP BY event_type"),
 
       "dedup_exact" ->
@@ -270,6 +299,9 @@ object SparkEntry {
           "min(doc_id) AS min_doc FROM documents GROUP BY md5(text)"),
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
+      "dedup_minhash_lsh" -> OracleSql.minHashLsh,
+      "dedup_simhash" -> OracleSql.simHashPairs,
+      "media_decode" -> OracleSql.mediaDecode,
       "text_stats" -> OracleSql.textStats,
       "text_quality" -> OracleSql.textQuality,
       "text_fingerprint" -> OracleSql.textFingerprint,

@@ -22,17 +22,8 @@ final case class Doc(doc_id: String, spans: Seq[Span])
   * lowercase and may be multi-token ("hash join"). */
 final case class GazEntry(surface: String, entity_id: String, prior: Double)
 
-/** A detected mention of a gazetteer surface in one text span
-  * (SURVEY.md §1.3). begin/end are char offsets within the span text,
-  * end exclusive. */
-final case class Mention(
-    doc_id: String,
-    span_pos: Int,
-    begin: Int,
-    end: Int,
-    surface: String)
-
-/** A scored candidate entity link for one mention (SURVEY.md §1.3, M4). */
+/** A scored candidate entity link for one mention (SURVEY.md §1.3, M4).
+  * begin/end are char offsets within the span text, end exclusive. */
 final case class CandidateLink(
     doc_id: String,
     span_pos: Int,
@@ -50,13 +41,6 @@ final case class CandidateLink(
 final case class Triple(subj: String, pred: String, obj: String, obj_type: String)
 
 /** A sameAs / alias edge driving connected-components entity resolution
-  * (BASELINE.json:6; FIXTURES.md §3). */
+  * (BASELINE.json:6; FIXTURES.md §3). Per-partition lineage for
+  * checkpoint-resume lives in [[graft.sources.TripleSink.BucketLineage]]. */
 final case class SameAsEdge(src_entity: String, dst_entity: String)
-
-/** Per-partition lineage record for checkpoint-resume + metrics
-  * (BASELINE.json:14; SURVEY.md §1.3). */
-final case class PartitionLineage(
-    partition_id: Int,
-    input_rows: Long,
-    triples_out: Long,
-    checksum: Long)

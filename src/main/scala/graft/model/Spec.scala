@@ -33,6 +33,14 @@ object Spec {
   /** Number of subject-hash buckets in the triple sink (SURVEY.md S5). */
   val DefaultSubjectBuckets = 16
 
+  /** Stop-shingle pruning threshold used by the dedup query surface
+    * (shingles in more docs than this are dropped before the inverted-
+    * index/band joins). Frozen here because the DuckDB oracles must prune
+    * identically. 20 is a no-op on sf0.01 (max df 7) and drops real
+    * boilerplate shingles at sf0.1 (59 shingles with df > 20) — at corpus
+    * scale this is the knob that bounds the candidate join. */
+  val DedupMaxDocFreq = 20L
+
   // ----- URI minting (FIXTURES.md §4) ------------------------------------
   // ex:doc/<doc_id> ; ex:ent/<hex16(sha256(salt||canonical_entity_id))> ;
   // ex:media/<media_ref>. hex16 = first 16 lowercase hex chars.

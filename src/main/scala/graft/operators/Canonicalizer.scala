@@ -90,7 +90,9 @@ object Canonicalizer {
       val cs = checksum(next)
       converged = cs == prev
       prev = cs
-      if (i > 0) cur.unpersist()
+      // next is materialized by the checksum action, so the previous
+      // round's blocks (incl. the round-0 `dedup` cache) can be dropped
+      cur.unpersist()
       cur = next
       i += 1
     }
@@ -130,6 +132,7 @@ object Canonicalizer {
       dedup: DataFrame): DataFrame = {
     import spark.implicits._
     val es = dedup.as[(String, String)].collect()
+    dedup.unpersist()
     val canon = componentsLocal(es.toSeq)
     spark.createDataset(canon.toSeq.sortBy(_._1))
       .toDF("entity_id", "canonical")
@@ -154,6 +157,10 @@ object Canonicalizer {
     * partitions. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       distCol: String, k: Int = 8, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row k times (once
+    // per salt replica) — only left-preserving join types are equivalent
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType), s"saltedJoin does not support joinType=$joinType")
     val salted = right.withColumn("_salt",
       explode(array((0 until k).map(lit): _*)))
     left.withColumn("_salt", pmod(xxhash64(col(distCol)), lit(k)).cast("int"))

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.vslotEq
 
 /** Large-scale corpus deduplication operators (training-data pipeline
   * surface; builder prompt "Deduplication" + SURVEY.md §2).
@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * index / band equi-join (shuffle on the band key — the standard
   * scale-out pattern), and exact verification happens only on candidate
   * pairs, never all pairs.
+  *
+  * Hash portability: the production default for token/shingle hashing is
+  * `xxhash64` (fastest codegen'd 64-bit hash in Spark). The MinHash and
+  * SimHash entries in the driver-verified query surface use
+  * [[Dedup.portableHash60]] / [[PortableMd5Hasher]] instead — an md5-hex
+  * derived hash DuckDB computes bit-identically — so the banding joins,
+  * slot/bit aggregation, pigeonhole recall and verify thresholds (the
+  * algorithm, independent of hash choice) are certified end-to-end against
+  * a SQL oracle, not just rows-only.
   */
 object Dedup {
 
@@ -23,14 +32,25 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_doc"))
 
   /** Distinct word n-gram shingles per doc: (id, shingle).
+    *
+    * Docs with fewer than `n` tokens produce no shingles and are filtered
+    * up front — without the guard, `sequence(0, size(w) - n)` goes
+    * DESCENDING for short docs (Spark defaults step = -1) and the
+    * `element_at` indices 0 / out-of-range throw under Spark 4 ANSI mode.
+    * The DuckDB oracle applies the same `len(w) >= n` guard.
+    *
     * `maxDocFreq`, when set, drops shingles occurring in more than that
-    * many docs — the standard stop-shingle pruning that keeps the
-    * inverted-index join from exploding on common boilerplate at corpus
-    * scale. */
+    * many docs — stop-shingle pruning that keeps the inverted-index join
+    * from exploding on common boilerplate at corpus scale (one sentence
+    * shared by 10^6 docs would otherwise contribute a 10^12-row join on
+    * that shingle). Use [[shingleDocFreqStats]] to observe what a given
+    * threshold drops. */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val w = split(col(textCol), " ")
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = docs
+      .filter(size(w) >= n)
+      .select(col(idCol).as("id"),
         explode(transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
           .as("shingle"))
@@ -43,10 +63,22 @@ object Dedup {
     }
   }
 
+  /** Observability for stop-shingle pruning: per-shingle doc frequency of
+    * the shingles a `maxDocFreq` threshold WOULD drop (run alongside a
+    * pruned dedup job to log/accumulate the dropped mass). */
+  def shingleDocFreqStats(docs: DataFrame, n: Int, maxDocFreq: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingles(docs, n, idCol, textCol)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+
   /** Exact n-gram Jaccard near-duplicate pairs via inverted-index
     * self-join: emits (a, b, jaccard) for a < b with jaccard ≥ minJaccard.
     * Shuffles on the shingle key; only co-shingled pairs are ever
-    * materialized. */
+    * materialized. With `maxDocFreq` set, jaccard is computed over the
+    * PRUNED shingle space (sizes and intersections both post-prune) — the
+    * standard trade: boilerplate shingles stop contributing to similarity
+    * in exchange for a bounded join. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
@@ -66,34 +98,57 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** MinHash signature column: array of `numHashes` minima of seeded
-    * xxhash64 over the doc's shingle set. Pure expressions (min over a
+  /** 60-bit seeded hash both Spark and DuckDB compute bit-identically:
+    * the first 15 hex chars of md5("<seed>:<value>") parsed base-16
+    * (15 chars = 60 bits < 2^63, so the parse is overflow-safe in both
+    * engines). Slower than xxhash64 — used on the oracle-verified query
+    * surface; production call sites default to xxhash64. */
+  def portableHash60(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature column: array of `numHashes` minima of a seeded
+    * 64-bit hash over the doc's shingle set. Pure expressions (min over a
     * groupBy), deterministic. Input: (id, shingle). */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+  def minHashSignatures(sh: DataFrame, numHashes: Int,
+      hashFn: (Int, Column) => Column = (j, c) => xxhash64(lit(j), c)): DataFrame =
     sh.groupBy("id").agg(
       array((0 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("shingle")))): _*).as("sig"))
+        min(hashFn(j, col("shingle")))): _*).as("sig"))
 
   /** MinHash + LSH banding: candidate pairs whose estimated Jaccard
-    * (fraction of agreeing hash slots) ≥ minEstJaccard. Bands of size
-    * rows = numHashes/bands are hashed and equi-joined — the classic
+    * (fraction of agreeing hash slots, counted by the codegen'd
+    * [[org.apache.spark.sql.graft.LongSlotEq]]) ≥ minEstJaccard. Bands of
+    * size rows = numHashes/bands are keyed and equi-joined — the classic
     * sub-quadratic near-dup path (probabilistic recall; exact-verify
-    * downstream with [[ngramJaccardPairs]] semantics if needed). */
+    * downstream with [[ngramJaccardPairs]] semantics if needed).
+    *
+    * `portable = true` switches shingle hashing to [[portableHash60]] and
+    * band keys to the concatenated slot string (both reproducible in
+    * DuckDB) — the oracle-verified configuration. Default keys are
+    * xxhash64 over the band's slots (cheapest shuffle key). */
   def minHashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
       minEstJaccard: Double, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxDocFreq: Long = Long.MaxValue,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minHashSignatures(shingles(docs, n, idCol, textCol), numHashes)
+    val hashFn: (Int, Column) => Column =
+      if (portable) portableHash60 else (j, c) => xxhash64(lit(j), c)
+    val sig = minHashSignatures(
+      shingles(docs, n, idCol, textCol, maxDocFreq), numHashes, hashFn)
       .cache()
+    def bandSlots(b: Int): Seq[Column] =
+      (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+    def bandKey(b: Int): Column =
+      if (portable) concat_ws("_", bandSlots(b): _*)
+      else xxhash64(lit(b) +: bandSlots(b): _*)
     val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)): _*))
-        .as(Seq("band", "bandhash")))
+      posexplode(array((0 until bands).map(bandKey): _*))
+        .as(Seq("band", "bandkey")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
-        col("x.bandhash") === col("y.bandhash") &&
+        col("x.bandkey") === col("y.bandkey") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
@@ -101,25 +156,48 @@ object Dedup {
       .join(sig.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sig.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .withColumn("est_jaccard",
-        round(aggregate(zip_with(col("siga"), col("sigb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6))
+        round(vslotEq(col("siga"), col("sigb")).cast("double") / numHashes, 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("a", "b", "est_jaccard")
+  }
+
+  /** Token-hash bit source for [[simHash]]: `hash` maps a token to its
+    * hashed representation (computed once per token), `bit` extracts bit
+    * `b` (0/1) from it. */
+  sealed trait TokenHasher {
+    def hash(tok: Column): Column
+    def bit(h: Column, b: Int): Column
+  }
+
+  /** Production default: xxhash64 bits (single codegen'd hash per token). */
+  case object XxHash64Hasher extends TokenHasher {
+    def hash(tok: Column): Column = xxhash64(tok)
+    def bit(h: Column, b: Int): Column =
+      shiftright(h, b).bitwiseAND(1).cast("int")
+  }
+
+  /** Oracle-portable: bits of the md5 hex digits (bit b = bit (b mod 4) of
+    * hex digit b/4) — DuckDB reproduces this exactly, so the SimHash query
+    * is hash-verified end-to-end. */
+  case object PortableMd5Hasher extends TokenHasher {
+    def hash(tok: Column): Column = md5(tok)
+    def bit(h: Column, b: Int): Column =
+      shiftright(conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int"), b % 4)
+        .bitwiseAND(1)
   }
 
   /** 64-bit SimHash per doc from token hashes — 64 conditional-sum
     * aggregate columns (all codegen'd), bits set where the weighted sum is
     * positive. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hasher: TokenHasher = XxHash64Hasher): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", hasher.hash(col("tok")))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b")
+      sum(when(hasher.bit(col("h"), b) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), (0 until 64).map(b =>
@@ -128,18 +206,34 @@ object Dedup {
   }
 
   /** Near-dup pairs with simhash Hamming distance ≤ maxHamming, found via
-    * block banding: split the 64-bit hash into (maxHamming+1) blocks — by
-    * pigeonhole, any pair within the distance agrees on at least one
-    * block, so an equi-join per block finds all of them sub-quadratically. */
+    * block-PAIR banding: split the 64-bit hash into B = maxHamming + 2
+    * blocks; d ≤ maxHamming flipped bits touch at most d blocks, leaving
+    * B - d ≥ 2 blocks untouched — so by pigeonhole at least one of the
+    * C(B,2) block PAIRS is fully untouched, and an equi-join keyed on
+    * (pairIdx, block_i bits, block_j bits) finds every such pair
+    * sub-quadratically.
+    *
+    * Why pairs and not single blocks (B = maxHamming + 1): a single-block
+    * key has only 64/B ≈ 16 bits of entropy — ≤65,536 buckets, which at
+    * 10^9+ docs makes every bucket huge and the within-bucket self-join
+    * quadratic again. Keying on two blocks squares the key space (~2^25
+    * buckets for maxHamming = 3) at the cost of C(B,2)/B ≈ 2.5× more
+    * exploded rows — the right trade at corpus scale. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val sh = simHash(docs, idCol, textCol).cache()
+      idCol: String = "doc_id", textCol: String = "text",
+      hasher: TokenHasher = XxHash64Hasher): DataFrame = {
+    val blocks = maxHamming + 2
+    val starts = (0 to blocks).map(i => i * 64 / blocks)
+    def blockVal(i: Int): Column =
+      shiftright(col("simhash"), starts(i))
+        .bitwiseAND((1L << (starts(i + 1) - starts(i))) - 1)
+    val blockPairs =
+      for { i <- 0 until blocks; j <- (i + 1) until blocks } yield (i, j)
+    val sh = simHash(docs, idCol, textCol, hasher).cache()
     val banded = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND((1L << width) - 1)): _*)).as(Seq("blk", "key")))
+      posexplode(array(blockPairs.map { case (i, j) =>
+        struct(blockVal(i).as("v1"), blockVal(j).as("v2"))
+      }: _*)).as(Seq("blk", "key")))
     val hamming = {
       val x = col("x.simhash").bitwiseXOR(col("y.simhash"))
       bit_count(x)
@@ -148,7 +242,7 @@ object Dedup {
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        hamming.cast("int").as("hamming"))
+        hamming.cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

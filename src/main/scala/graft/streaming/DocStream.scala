@@ -18,10 +18,15 @@ import graft.sources.{InterleavedDocs, TripleSink}
   */
 object DocStream {
 
-  /** File-source stream of interleaved docs with the frozen schema. */
-  def readDocStream(spark: SparkSession, path: String): Dataset[Doc] = {
+  /** File-source stream of interleaved docs with the frozen schema.
+    * `maxFilesPerTrigger` bounds micro-batch size (and lets tests force a
+    * multi-batch run); AvailableNow honors it as a read limit. */
+  def readDocStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[Doc] = {
     import spark.implicits._
-    spark.readStream.schema(InterleavedDocs.docSchema).parquet(path).as[Doc]
+    val reader = spark.readStream.schema(InterleavedDocs.docSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path).as[Doc]
   }
 
   /** Incremental KG construction: every arriving doc-file batch is
@@ -29,18 +34,65 @@ object DocStream {
     * batch; bucket layout + lineage preserved within each).
     * Trigger.AvailableNow processes the backlog then stops — the batch
     * semantics of the spec, with streaming's file tracking + its own
-    * checkpoint for exactly-once over input files. */
+    * checkpoint for exactly-once over input files.
+    *
+    * Cross-batch set semantics: triples recur across batches (ex:label
+    * triples for common entities appear in nearly every batch), so each
+    * batch's output is left-anti joined against everything previously
+    * written before landing — the UNION of all batch sub-tables therefore
+    * remains an exact distinct (subj, pred, obj) set, same contract as
+    * [[graft.Pipeline.triples]]. At corpus scale the anti-join reads only
+    * the (subj, pred, obj) columns of the prior output (columnar prune) and
+    * shuffles just the new batch; an Iceberg deployment would express the
+    * same thing as MERGE INTO on the bucketed table. */
   def run(spark: SparkSession, inPath: String, outPath: String,
-      checkpoint: String): StreamingQuery =
-    readDocStream(spark, inPath).writeStream
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readDocStream(spark, inPath, maxFilesPerTrigger).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val triples = Pipeline.triples(batch.sparkSession, batch,
-          observeMetrics = false)
-        TripleSink.writeTriples(batch.sparkSession, triples,
-          s"$outPath/batch_id=$batchId")
+        val s = batch.sparkSession
+        val triples = Pipeline.triples(s, batch, observeMetrics = false)
+        val prior = priorBatchDirs(outPath, batchId)
+        val novel =
+          if (prior.isEmpty) triples
+          else triples.join(
+            // basePath: the batch_id=… dirs are siblings under one
+            // partitioned table root, not independent tables
+            s.read.option("basePath", outPath).parquet(prior: _*)
+              .select("subj", "pred", "obj"),
+            Seq("subj", "pred", "obj"), "left_anti")
+        TripleSink.writeTriples(s, novel, s"$outPath/batch_id=$batchId")
+        // foreachBatch reuses one session across batches: drop this
+        // batch's cached plans so executor storage doesn't accumulate
+        // over a long-running stream
+        s.sharedState.cacheManager.clearCache()
         ()
       }
       .start()
+
+  /** Completed batch sub-tables already on disk (excluding `batchId`
+    * itself, which a failed-and-retried micro-batch may have partially
+    * written — its buckets are finished idempotently by the sink's
+    * manifest resume protocol, not double-anti-joined). */
+  private def priorBatchDirs(outPath: String, batchId: Long): Seq[String] = {
+    val root = java.nio.file.Paths.get(outPath)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong != batchId)
+          .map(n => s"$outPath/$n")
+          // all-duplicate batches write zero rows (no parquet footers to
+          // infer a schema from) — skip them via their own manifest
+          .filter(dir => TripleSink.readManifest(dir).map(_.rows).sum > 0)
+          .toSeq.sorted
+      } finally s.close()
+    }
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd double-array dot product.
   *
@@ -62,9 +62,63 @@ case class DoubleDot(left: Expression, right: Expression)
       newRight: Expression): DoubleDot = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd equal-slot counter over two array<long> columns.
+  *
+  * The MinHash verify kernel (fraction of agreeing signature slots per
+  * candidate pair) was previously `aggregate(zip_with(...))` — an
+  * interpreted lambda dispatch plus boxing per slot, the same ~50µs/pair
+  * anti-pattern [[DoubleDot]] was built to eliminate in the cosine
+  * kernels. This compiles to a primitive loop inside whole-stage codegen;
+  * on boilerplate-heavy corpora the candidate-pair count is the hot loop
+  * at scale, so the verify stage stays CPU-bound, not allocation-bound.
+  *
+  * Slots are compared positionally over min(len(a), len(b)); dense arrays,
+  * element nulls not expected (signature slots are min-aggregates).
+  */
+case class LongSlotEq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongSlotEq = copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DoubleDot]]; inputs must be array<double>. */
   def vdot(a: Column, b: Column): Column =
     ExpressionUtils.column(DoubleDot(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
+
+  /** Column API for [[LongSlotEq]]; inputs must be array<long>. */
+  def vslotEq(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongSlotEq(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
 }

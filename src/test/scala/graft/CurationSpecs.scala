@@ -60,6 +60,82 @@ class DedupSpec extends SparkTestBase {
     val pruned = Dedup.shingles(docs, 3, maxDocFreq = 5)
     val freqs = pruned.groupBy("shingle").count()
     assert(freqs.filter(col("count") > 5).count() == 0)
+    // the observability twin reports exactly the dropped shingles
+    val dropped = Dedup.shingleDocFreqStats(docs, 3, maxDocFreq = 5)
+    assert(dropped.filter(col("df") <= 5).count() == 0)
+  }
+
+  test("short/degenerate docs survive the whole dedup family (ANSI mode)") {
+    // docs with fewer than n tokens used to make sequence() descend and
+    // element_at throw under Spark 4 ANSI — any real corpus has these
+    val df = Seq(
+      (1L, ""), (2L, "one"), (3L, "only two"),
+      (4L, "three whole words here now"),
+      (5L, "three whole words here now"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(df, 3, 0.8).collect()
+    assert(jac.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    val lsh = Dedup.minHashLshPairs(df, 3, 64, 16, 0.5).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    val lshPortable = Dedup.minHashLshPairs(df, 3, 64, 16, 0.5,
+      portable = true).collect()
+    assert(lshPortable.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 5L)))
+    // simhash tokenizes (no shingles) — short docs are legal input
+    assert(Dedup.simHashPairs(df.filter(col("text") =!= ""), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+  }
+
+  test("codegen'd slot-eq kernel == interpreted zip_with/aggregate count") {
+    import org.apache.spark.sql.graft.VectorFunctions.vslotEq
+    val sig = Dedup.minHashSignatures(Dedup.shingles(docs, 3), 64).cache()
+    val pairs = sig.as("x").crossJoin(sig.as("y"))
+      .filter(col("x.id") < col("y.id")).limit(500)
+      .select(
+        vslotEq(col("x.sig"), col("y.sig")).as("fast"),
+        aggregate(zip_with(col("x.sig"), col("y.sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("slow"))
+    assert(pairs.filter(col("fast") =!= col("slow")).count() == 0)
+    sig.unpersist()
+  }
+
+  test("portable md5 hashing: minhash-LSH recall holds and estimates agree") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, 3, 64, 16, 0.5, portable = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && (exact -- lsh).isEmpty,
+      s"portable LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash block-pair banding finds EXACTLY the hamming<=k pairs") {
+    // ground truth by brute force over the collected simhashes — proves
+    // both recall (pigeonhole over block pairs) and precision of the join
+    for (hasher <- Seq(Dedup.XxHash64Hasher, Dedup.PortableMd5Hasher)) {
+      val hashes = Dedup.simHash(docs, hasher = hasher)
+        .as[(Long, Long)].collect()
+      val expected = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      val got = Dedup.simHashPairs(docs, maxHamming = 3, hasher = hasher)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"$hasher: got=${got.size} want=${expected.size}")
+    }
+  }
+
+  test("portable simhash: identical docs collide, unrelated don't pair") {
+    val df = Seq(
+      (1L, "spark table scan fast query row value merge"),
+      (2L, "spark table scan fast query row value merge"),
+      (3L, "spark table scan fast query row value sort"),
+      (4L, "a completely different set of words here entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, 3, hasher = Dedup.PortableMd5Hasher)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 }
 
@@ -199,6 +275,39 @@ class StreamingSpec extends SparkTestBase {
     // both sides are deduped sets → except (not exceptAll: its
     // ReplicateRows rewrite hits a Spark 4.1 Generate-binding bug on this
     // plan shape)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("multi-batch stream output is one exact distinct triple set") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val docs = graft.sources.InterleavedDocs.synthesize(spark, 120L, seed = 21L)
+    // two input files → maxFilesPerTrigger=1 forces two micro-batches;
+    // label triples for shared entities WILL recur across the batches
+    docs.filter(col("doc_id") < "d00000060").write.parquet(s"$tmp/in")
+    docs.filter(col("doc_id") >= "d00000060").write
+      .mode("append").parquet(s"$tmp/in")
+
+    val q = graft.streaming.DocStream.run(spark, s"$tmp/in", s"$tmp/out",
+      s"$tmp/ckpt", maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+    val nBatches = try {
+      import scala.jdk.CollectionConverters._
+      batchDirs.iterator().asScala
+        .count(_.getFileName.toString.startsWith("batch_id="))
+    } finally batchDirs.close()
+    assert(nBatches >= 2, s"expected a multi-batch run, got $nBatches")
+
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("subj", "pred", "obj", "obj_type")
+    // exact set: no duplicates across batch sub-tables...
+    assert(streamed.count() ==
+      streamed.dropDuplicates("subj", "pred", "obj").count(),
+      "cross-batch duplicate triples found")
+    // ...and equal to the one-shot batch pipeline over the same docs
+    val batch = Pipeline.triples(spark, docs)
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 }

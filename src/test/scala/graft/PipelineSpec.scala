@@ -44,6 +44,21 @@ class PipelineSpec extends SparkTestBase {
     assert(p == 1.0 && r == 1.0, s"P=$p R=$r")
   }
 
+  test("atScale variant (distributed CC + join remap + join predicate map) " +
+      "emits the identical triple set") {
+    import spark.implicits._
+    val docs = InterleavedDocs.synthesize(spark, 400L, seed = 13L, skewPct = 15)
+    val fast = Pipeline.triples(spark, docs)
+    val scale = Pipeline.triples(spark, docs, atScale = true)
+    assert(fast.except(scale).isEmpty && scale.except(fast).isEmpty)
+    val expected = SequentialOracle.triples(docs.collect().toSeq,
+      Spec.Gazetteer, Spec.SameAs)
+    val actual = scale.collect()
+      .map(r => SequentialOracle.T(r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(actual == expected)
+  }
+
   test("pipeline handles crafted edge docs (empty text, overlaps, aliases)") {
     val docs = Seq(
       Doc("e1", Seq(Span("text", "", null, 0))),
