@@ -52,6 +52,21 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // temp corpora/sinks are deleted on exit so repeated protocol runs
+    // don't fill /tmp (a full disk quietly skews write timings)
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tmpDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      tmpDirs += d; d
+    }
+    def cleanup(): Unit = tmpDirs.foreach { d =>
+      scala.util.Try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // 1. north star: full pipeline + bucketed write, `SPARK_GRAFT_BENCH_DOCS`
@@ -61,20 +76,20 @@ object Bench {
     // (tools/bench_scaling.sh) sets 1M docs so the run is compute-bound
     // rather than job-overhead-bound.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
-    val docsPath = Files.createTempDirectory("graft-bench-docs").toString
+    val docsPath = tmpDir("graft-bench-docs")
     InterleavedDocs.synthesize(spark, nDocs, seed = 42L, skewPct = 2)
       .write.mode("overwrite").parquet(docsPath)
     // untimed in-JVM warm-up: JIT + codegen-compile every pipeline path on
     // a 20k-doc slice so the timed number isn't dominated by first-job
     // compilation (measured ±50% between cold JVMs otherwise)
     locally {
-      val warmOut = Files.createTempDirectory("graft-bench-warm").toString
+      val warmOut = tmpDir("graft-bench-warm")
       val warmDocs = InterleavedDocs.readDocs(spark, docsPath).limit(20000)
       TripleSink.writeTriples(spark,
         Pipeline.triples(spark, warmDocs), warmOut)
     }
     val (tWrite, nTriples) = timed {
-      val out = Files.createTempDirectory("graft-bench-sink").toString
+      val out = tmpDir("graft-bench-sink")
       val docs = InterleavedDocs.readDocs(spark, docsPath)
       val triples = Pipeline.triples(spark, docs)
       TripleSink.writeTriples(spark, triples, out).map(_.rows).sum
@@ -130,5 +145,6 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
+    cleanup()
   }
 }
