@@ -23,19 +23,20 @@ echo "$(date -u +%FT%TZ) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) runs=$RUNS cpu
 for cpus in $CPUS_LIST; do
   out="BENCH/raw_cpus${cpus}.jsonl"
   : > "$out"
-  # heap scales with cores (3g/core, the run_cluster.sh executor ratio):
-  # on a real cluster N->4N executors brings 4x total heap with it; pinning
-  # one fixed heap across both sizes would 4x the GC pressure per core at
-  # 4N and misattribute GC to poor scaling.
-  mem="$((3 * cpus))g"
-  echo "== warm-up (discarded) cpus=$cpus mem=$mem ==" >&2
+  # Heap is the FIXED 8g default at every size. Scaling heap with cores
+  # (3g/core, mirroring run_cluster.sh's executor ratio) was tried and
+  # measured WORSE at 16/48g (kg_write 63-331s vs 24s at 16/8g) — the
+  # 46GB-RSS JVM squeezes the page cache and fresh-page-zeroing dominates
+  # on this VM; 8g keeps GC modest and the comparison honest because BOTH
+  # sizes run the identical configuration.
+  echo "== warm-up (discarded) cpus=$cpus ==" >&2
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=$cpus \
-    SPARK_DRIVER_MEM=$mem SPARK_GRAFT_BENCH_DOCS="$DOCS" \
+    SPARK_GRAFT_BENCH_DOCS="$DOCS" SPARK_GRAFT_WARM_DOCS="$DOCS" \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' >/dev/null
   for i in $(seq 1 "$RUNS"); do
-    echo "== timed run $i/$RUNS cpus=$cpus mem=$mem ==" >&2
+    echo "== timed run $i/$RUNS cpus=$cpus ==" >&2
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=$cpus \
-      SPARK_DRIVER_MEM=$mem SPARK_GRAFT_BENCH_DOCS="$DOCS" \
+      SPARK_GRAFT_BENCH_DOCS="$DOCS" SPARK_GRAFT_WARM_DOCS="$DOCS" \
       sbt -batch "runMain graft.Bench" 2>/dev/null \
       | grep '"metric"' | sed 's/^\[info\] //' >> "$out"
   done
