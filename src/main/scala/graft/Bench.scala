@@ -79,12 +79,19 @@ object Bench {
     val docsPath = tmpDir("graft-bench-docs")
     InterleavedDocs.synthesize(spark, nDocs, seed = 42L, skewPct = 2)
       .write.mode("overwrite").parquet(docsPath)
-    // untimed in-JVM warm-up: JIT + codegen-compile every pipeline path on
-    // a 20k-doc slice so the timed number isn't dominated by first-job
-    // compilation (measured ±50% between cold JVMs otherwise)
+    // untimed in-JVM warm-up: JIT + codegen-compile every pipeline path so
+    // the timed number isn't dominated by first-job compilation (measured
+    // ±50% between cold JVMs otherwise). Default 20k-doc slice; the
+    // scaling protocol sets SPARK_GRAFT_WARM_DOCS=nDocs so the timed run
+    // measures warm steady state (tiered JIT needs full-size stages to
+    // reach C2 — a 20k warm-up left the first timed 1M-doc run ~35%
+    // off steady state, identically biasing neither parallelism level
+    // but inflating every absolute number).
     locally {
+      val warmN = sys.env.getOrElse("SPARK_GRAFT_WARM_DOCS", "20000").toLong
       val warmOut = tmpDir("graft-bench-warm")
-      val warmDocs = InterleavedDocs.readDocs(spark, docsPath).limit(20000)
+      val warmDocs = InterleavedDocs.readDocs(spark, docsPath)
+        .limit(math.min(warmN, nDocs).toInt)
       TripleSink.writeTriples(spark,
         Pipeline.triples(spark, warmDocs), warmOut)
     }
