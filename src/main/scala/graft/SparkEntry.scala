@@ -167,6 +167,9 @@ object SparkEntry {
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
+    "text_rtokens" -> ((s, dir) =>
+      TextAnalysis.regexTokenStats(s.read.parquet(s"$dir/documents.parquet"))),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -184,11 +187,16 @@ object SparkEntry {
       Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
         minCos = 0.4)),
 
-    // ANN path: approximate — rows-only; recall vs brute force is
-    // property-tested in SimilaritySpec
+    // ANN paths: approximate — rows-only; recall vs brute force is
+    // property-tested in SimilaritySpec (LSH hyperplanes / IVF centroid
+    // sampling use xxhash64, which DuckDB cannot reproduce)
     "emb_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 5, dim = 64, nPlanes = 6)),
+
+    "emb_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 5, nCells = 16, nProbe = 4)),
 
     // multimodal plumbing (stub codec, deterministic — the oracle
     // reproduces the seed arithmetic, so the decode plumbing is
@@ -297,6 +305,13 @@ object SparkEntry {
       "dedup_exact" ->
         ("SELECT md5(text) AS text_md5, count(*) AS n, " +
           "min(doc_id) AS min_doc FROM documents GROUP BY md5(text)"),
+
+      "text_rtokens" ->
+        ("SELECT doc_id AS id, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+          "CAST(len(regexp_extract_all(text, " +
+          "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_rtokens " +
+          "FROM documents"),
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,

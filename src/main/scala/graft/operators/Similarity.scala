@@ -110,6 +110,53 @@ object Similarity {
         col("rk").cast("bigint").as("rk"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
+    * builder prompt names alongside LSH. nCells "centroids" are a
+    * deterministic uniform sample of the data itself (the nCells rows with
+    * the smallest xxhash64(id), L2-normalized) — dimension-sized, collected
+    * once to the driver and baked into the plan as literal vectors (the
+    * same zero-per-row-hash pattern as the LSH hyperplanes). Every vector
+    * is assigned to its argmax-cosine cell (nCells codegen'd dots); each
+    * query probes its nProbe best cells; the quadratic cosine kernel runs
+    * only within probed cells, shuffle key = cell id. At corpus scale the
+    * centroid sample would come from a k-means job; the assignment/probe
+    * plan is unchanged by better centroids.
+    * Approximate — recall vs [[bruteForceTopK]] is spec-tested. */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe <= nCells, "nProbe must be <= nCells")
+    val p = prepared(emb, idCol, vecCol, "id")
+      .select(col("id"),
+        transform(col("id_vd"), x => x / col("id_nrm")).as("unit"))
+    val centroids = p
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCells)
+      .select("unit").collect()
+      .map(_.getSeq[Double](0).toArray)
+    def cellScores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
+      struct(vdot(col("unit"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
+    }
+    // data side: argmax cell (struct max orders by score, then cell idx)
+    val assigned = p.withColumn("cell",
+      array_max(array(cellScores: _*)).getField("cell"))
+    // query side: the nProbe best cells, descending score
+    val probed = p.withColumn("cell",
+      explode(slice(transform(
+        sort_array(array(cellScores: _*), asc = false),
+        s => s.getField("cell")), 1, nProbe)))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("vec_id"), col("y.id").as("neighbor_id"),
+        vdot(col("x.unit"), col("y.unit")).as("cos"))
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"),
+        col("rk").cast("bigint").as("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a, b, cos) with cos ≥ minCos,
     * a < b — brute force kernel; at scale, run it per LSH bucket. */
   def cosineDupPairs(emb: DataFrame, minCos: Double,

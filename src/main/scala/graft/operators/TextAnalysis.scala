@@ -36,6 +36,23 @@ object TextAnalysis {
         .as("mean_tok_len"))
   }
 
+  /** BPE-ish pre-tokenizer regex (builder prompt "token counting
+    * (whitespace + a BPE-ish regex)"): letter runs, digit runs, and single
+    * non-alphanumeric marks — the GPT-2-pretokenizer family, restricted to
+    * constructs Java regex and DuckDB RE2 interpret identically so the
+    * query is oracle-checkable. */
+  val RegexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Regex token counts per doc alongside the whitespace count: whitespace
+    * splitting undercounts when punctuation/digits glue to words; the
+    * regex count is the BPE-style budget estimate. */
+  def regexTokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("bigint").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(RegexTokenPattern), lit(0)))
+        .cast("bigint").as("n_rtokens"))
+
   /** Frozen quality score in [0,1]:
     * 0.4·min(1, n_tokens/50) + 0.3·(1 − stopword_ratio)
     * + 0.3·min(1, mean_tok_len/8). Length, lexical density, and word-shape

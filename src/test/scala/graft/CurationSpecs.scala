@@ -196,6 +196,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k has useful recall vs brute force and excludes self") {
+    val exact = Similarity.bruteForceTopK(emb, k = 5)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, k = 5, nCells = 16, nProbe = 4)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f (${approx.size} approx pairs)")
+    assert(recall > 0.2, f"recall collapsed: $recall%.3f")
+    assert(!approx.exists(p => p._1 == p._2))
+  }
+
+  test("IVF is deterministic across runs") {
+    val a = Similarity.ivfTopK(emb, k = 3).collect().map(_.toString).sorted
+    val b = Similarity.ivfTopK(emb, k = 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("LSH bucket ids are deterministic across evaluations") {
     val b1 = emb.select($"vec_id",
       Similarity.lshBucket($"embedding", 64, 6).as("b")).collect()
