@@ -82,6 +82,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // cache: three consumers (sizes + both join sides) inside the lazily
+    // returned plan, so it cannot be unpersisted here. Iterative/long-
+    // running callers should spark.catalog.clearCache() between rounds
+    // (the streaming shim does).
     val sh = shingles(docs, n, idCol, textCol, maxDocFreq).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
