@@ -90,8 +90,11 @@ object Bench {
     locally {
       val warmN = sys.env.getOrElse("SPARK_GRAFT_WARM_DOCS", "20000").toLong
       val warmOut = tmpDir("graft-bench-warm")
-      val warmDocs = InterleavedDocs.readDocs(spark, docsPath)
-        .limit(math.min(warmN, nDocs).toInt)
+      // full-size warm-up must run the IDENTICAL plan as the timed run:
+      // .limit() would add a LocalLimit + single-partition GlobalLimit
+      // exchange, warming a differently-shaped, partly serialized plan
+      val base = InterleavedDocs.readDocs(spark, docsPath)
+      val warmDocs = if (warmN >= nDocs) base else base.limit(warmN.toInt)
       TripleSink.writeTriples(spark,
         Pipeline.triples(spark, warmDocs), warmOut)
     }

@@ -75,11 +75,14 @@ object Pipeline {
     // G4 dedup happens BEFORE URI minting on the narrow natural keys —
     // far cheaper than deduping full minted-URI strings. The single
     // distinct collapses per-doc mention repetition (map-side combine) in
-    // ONE pass over the matcher output; it is cached because three small
-    // aggregates below consume it (without the cache each would recompute
-    // the whole match+top1+remap chain).
+    // ONE pass over the matcher output. No .cache(): the three small
+    // aggregates below all consume `base` inside the one returned plan, so
+    // the distinct's shuffle is computed once and shared via
+    // ReusedExchange — the match+top1+remap chain runs exactly once, with
+    // disk-backed shuffle files instead of pinned executor memory and no
+    // unpersist lifecycle to leak.
     val base = canon.select(col("doc_id"), col("entity_id"), col("surface"))
-      .distinct().cache()
+      .distinct()
 
     val mentions = base.select("doc_id", "entity_id").distinct()
       .withColumn("link_kind", lit("text_mention"))

@@ -26,6 +26,22 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode))
     }
 
+    // Post-execution adaptive plan: AQE finalizes exchange reuse at
+    // runtime, so ReusedExchange / reused shuffle stages are only visible
+    // AFTER an action. This is the audit that proves multi-consumer
+    // intermediates (dedup shingles/signatures, the pipeline's deduped
+    // base) are computed once without .cache().
+    def showExecuted(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name (EXECUTED, final adaptive plan) ==========")
+      val d = df
+      d.collect() // collect (not count) executes THIS dataset's own
+      // QueryExecution, so the printed adaptive plan is the finalized one
+      val plan = d.queryExecution.executedPlan.toString
+      println(plan)
+      println(s"-- ReusedExchange nodes: " +
+        plan.linesIterator.count(_.contains("ReusedExchange")))
+    }
+
     val docs = InterleavedDocs.fromDocuments(spark, sfDir)
     show("kg_pipeline (docs → triples)") {
       Pipeline.triples(spark, docs)
@@ -50,6 +66,10 @@ object Plans {
       documents.select("doc_id", "lang")
         .filter(org.apache.spark.sql.functions.col("lang") === "en")
     }
+    showExecuted("kg_pipeline") { Pipeline.triples(spark, docs) }
+    showExecuted("ngram_jaccard") { Dedup.ngramJaccardPairs(documents, 3, 0.8) }
+    showExecuted("minhash_lsh") { Dedup.minHashLshPairs(documents, 3, 64, 16, 0.5) }
+    showExecuted("simhash_pairs") { Dedup.simHashPairs(documents, 3) }
     spark.stop()
   }
 }

@@ -67,7 +67,15 @@ object Profile {
     val timeline = new JobTimeline
     spark.sparkContext.addSparkListener(timeline)
 
-    val docsPath = Files.createTempDirectory("graft-prof-docs").toString
+    // track the exact temp dirs THIS run creates (a prefix sweep of the
+    // shared tmpdir would delete a concurrent Profile's data)
+    val tmpDirs = ArrayBuffer.empty[String]
+    def tmpDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      tmpDirs += d; d
+    }
+
+    val docsPath = tmpDir("graft-prof-docs")
     InterleavedDocs.synthesize(spark, nDocs, seed = 42L, skewPct = 2)
       .write.mode("overwrite").parquet(docsPath)
 
@@ -94,8 +102,7 @@ object Profile {
     val cached = Pipeline.triples(spark, docs).cache()
     cached.count()
     time("write_only_cached") {
-      val out = Files.createTempDirectory("graft-prof-sink").toString
-      TripleSink.writeTriples(spark, cached, out)
+      TripleSink.writeTriples(spark, cached, tmpDir("graft-prof-sink"))
     }
     cached.unpersist()
     }
@@ -103,33 +110,30 @@ object Profile {
     // end-to-end kg_write (the north-star workload) with the job timeline:
     // itemizes Spark-job time vs driver-side serial gaps
     locally { // warm
-      val out = Files.createTempDirectory("graft-prof-kgw").toString
       TripleSink.writeTriples(spark,
-        Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)), out)
+        Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)),
+        tmpDir("graft-prof-kgw"))
     }
     spark.sharedState.cacheManager.clearCache()
     timeline.clear()
     val t0 = System.currentTimeMillis()
     val tNs = System.nanoTime()
     locally {
-      val out = Files.createTempDirectory("graft-prof-kgw").toString
       TripleSink.writeTriples(spark,
-        Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)), out)
+        Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)),
+        tmpDir("graft-prof-kgw"))
     }
     val wallMs = (System.nanoTime() - tNs) / 1000000
     println(f"PROFILE kg_write_e2e            ${wallMs / 1e3}%8.2f s")
     timeline.report(wallMs, t0)
     spark.stop()
-    // drop this run's temp corpora/sinks (repeated runs fill /tmp)
-    Seq("graft-prof-docs", "graft-prof-sink", "graft-prof-kgw").foreach { p =>
-      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // drop exactly the temp corpora/sinks THIS run created (repeated runs
+    // fill /tmp; concurrent runs' dirs are untouched)
+    tmpDirs.foreach { d =>
       scala.util.Try {
-        java.nio.file.Files.list(tmp).filter(_.getFileName.toString.startsWith(p))
-          .forEach { d =>
-            java.nio.file.Files.walk(d)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          }
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }
   }

@@ -82,19 +82,31 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // cache: three consumers (sizes + both join sides) inside the lazily
-    // returned plan, so it cannot be unpersisted here. Iterative/long-
-    // running callers should spark.catalog.clearCache() between rounds
-    // (the streaming shim does).
-    val sh = shingles(docs, n, idCol, textCol, maxDocFreq).cache()
+    // No .cache(): `sh` has three consumers (sizes + both join sides) but
+    // they all live inside the ONE returned plan, so Spark's exchange
+    // reuse (spark.sql.exchange.reuse, default on) computes the distinct's
+    // shuffle once and wires ReusedExchange into the other consumers.
+    // That gives single-computation semantics with shuffle-file (disk)
+    // backing and zero lifecycle to manage — unlike .cache(), which pinned
+    // executor memory until someone remembered to unpersist, and which
+    // could never hold a corpus-scale shingle table anyway.
+    // "merge" hints: every join below has a corpus-sized probe AND build
+    // side (shingles, per-doc sizes), so sort-merge is the only strategy
+    // that survives 100 TB — and pinning it also keeps AQE from broadcast-
+    // converting the reused-exchange side, a path measured to stall the
+    // scheduler ~2× on this box (see BENCH/ANALYSIS.md round 3).
+    val sh = shingles(docs, n, idCol, textCol, maxDocFreq)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+    val inter = sh.as("x").join(sh.as("y").hint("merge"),
+        col("x.shingle") === col("y.shingle"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa")
+        .hint("merge"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb")
+        .hint("merge"), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double"), 6))
@@ -139,9 +151,11 @@ object Dedup {
     val rows = numHashes / bands
     val hashFn: (Int, Column) => Column =
       if (portable) portableHash60 else (j, c) => xxhash64(lit(j), c)
+    // no .cache(): sig's three consumers (banding + both verify sides)
+    // share its aggregation exchange via ReusedExchange — see
+    // ngramJaccardPairs for the lifecycle rationale
     val sig = minHashSignatures(
       shingles(docs, n, idCol, textCol, maxDocFreq), numHashes, hashFn)
-      .cache()
     def bandSlots(b: Int): Seq[Column] =
       (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
     def bandKey(b: Int): Column =
@@ -150,15 +164,19 @@ object Dedup {
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(bandKey): _*))
         .as(Seq("band", "bandkey")))
-    val cands = banded.as("x").join(banded.as("y"),
+    // merge hints: banded and sig are corpus-sized on BOTH sides (never
+    // broadcastable at scale) — see ngramJaccardPairs for the rationale
+    val cands = banded.as("x").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") &&
         col("x.bandkey") === col("y.bandkey") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     cands
-      .join(sig.select(col("id").as("a"), col("sig").as("siga")), "a")
-      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .join(sig.select(col("id").as("a"), col("sig").as("siga"))
+        .hint("merge"), "a")
+      .join(sig.select(col("id").as("b"), col("sig").as("sigb"))
+        .hint("merge"), "b")
       .withColumn("est_jaccard",
         round(vslotEq(col("siga"), col("sigb")).cast("double") / numHashes, 6))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -233,7 +251,9 @@ object Dedup {
         .bitwiseAND((1L << (starts(i + 1) - starts(i))) - 1)
     val blockPairs =
       for { i <- 0 until blocks; j <- (i + 1) until blocks } yield (i, j)
-    val sh = simHash(docs, idCol, textCol, hasher).cache()
+    // no .cache(): both self-join sides reuse the simhash aggregation
+    // exchange (see ngramJaccardPairs for the lifecycle rationale)
+    val sh = simHash(docs, idCol, textCol, hasher)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array(blockPairs.map { case (i, j) =>
         struct(blockVal(i).as("v1"), blockVal(j).as("v2"))
@@ -242,7 +262,8 @@ object Dedup {
       val x = col("x.simhash").bitwiseXOR(col("y.simhash"))
       bit_count(x)
     }
-    banded.as("x").join(banded.as("y"),
+    // merge hint: both banded sides are corpus-sized (see ngramJaccardPairs)
+    banded.as("x").join(banded.as("y").hint("merge"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),

@@ -63,10 +63,6 @@ object DocStream {
               .select("subj", "pred", "obj"),
             Seq("subj", "pred", "obj"), "left_anti")
         TripleSink.writeTriples(s, novel, s"$outPath/batch_id=$batchId")
-        // foreachBatch reuses one session across batches: drop this
-        // batch's cached plans so executor storage doesn't accumulate
-        // over a long-running stream
-        s.sharedState.cacheManager.clearCache()
         ()
       }
       .start()
@@ -85,8 +81,10 @@ object DocStream {
         s.iterator().asScala
           .filter(p => java.nio.file.Files.isDirectory(p))
           .map(_.getFileName.toString)
+          // safe parse: a stray non-numeric dir under outPath must be
+          // ignored, not crash every subsequent micro-batch
           .filter(n => n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLong != batchId)
+            n.stripPrefix("batch_id=").toLongOption.exists(_ != batchId))
           .map(n => s"$outPath/$n")
           // all-duplicate batches write zero rows (no parquet footers to
           // infer a schema from) — skip them via their own manifest
