@@ -336,6 +336,123 @@ object OracleSql {
       """SELECT a, b, round(cos, 6) AS cos FROM pairs
         | WHERE a < b AND round(cos, 6) >= 0.4""".stripMargin.replace("\n", "")
 
+  /** Portable sign-LSH ANN oracle: exact twin of Similarity.lshTopK(k=5,
+    * dim=64, nPlanes=6, nTables=8, portable=true). The hyperplane matrix
+    * is rebuilt in SQL from the same md5-60-bit derivation the Scala side
+    * bakes into plan literals ((md5_60("graft-lsh:t:j:i") % 2e6)/1e6 − 1);
+    * every dot product uses the same in-order list_reduce accumulation as
+    * the codegen'd DoubleDot, so bucket sign bits, cosines, and ranks
+    * agree bit-for-bit. */
+  val embLshTopK: String = {
+    val nTables = 8; val nPlanes = 6; val dim = 64; val k = 5
+    OracleCte.withClause(
+      """v AS (SELECT vec_id AS id,
+        | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        | FROM embeddings)""".stripMargin,
+      s"n AS (SELECT id, vd, sqrt(${duckDot("vd", "vd")}) AS nrm FROM v)",
+      s"""pl AS (
+         |  SELECT t, j, list(v ORDER BY i) AS p FROM (
+         |    SELECT t.t, j.j, i.i,
+         |      (('0x' || substr(md5('graft-lsh:' || t.t || ':' || j.j ||
+         |        ':' || i.i), 1, 15))::BIGINT % 2000000) / 1000000.0 - 1.0
+         |        AS v
+         |    FROM range(0, $nTables) t(t), range(0, $nPlanes) j(j),
+         |         range(0, $dim) i(i))
+         |  GROUP BY t, j)""".stripMargin,
+      s"""bt AS (
+         |  SELECT id, t, CAST(sum(CASE WHEN s >= 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT n.id, pl.t, pl.j, ${duckDot("n.vd", "pl.p")} AS s
+         |        FROM n, pl)
+         |  GROUP BY id, t)""".stripMargin,
+      """cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+        | FROM bt x JOIN bt y
+        |   ON x.t = y.t AND x.bucket = y.bucket AND x.id <> y.id)"""
+        .stripMargin,
+      s"""cz AS (SELECT c.a, c.b,
+         | ${duckDot("x.vd", "y.vd")} / (x.nrm * y.nrm) AS cos
+         | FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b)"""
+        .stripMargin) +
+      s"""SELECT a AS vec_id, b AS neighbor_id, round(cos, 6) AS cos, rk
+         | FROM (SELECT a, b, cos, row_number() OVER (PARTITION BY a
+         |   ORDER BY cos DESC, b ASC) AS rk FROM cz)
+         | WHERE rk <= $k""".stripMargin.replace("\n", "")
+  }
+
+  /** Portable IVF ANN oracle: exact twin of Similarity.ivfTopK(k=5,
+    * nCells=16, nProbe=4, lloydRounds=2, nAssign=3, portable=true). The
+    * whole construction is replayed in SQL: md5-seeded uniform sample of
+    * nCells unit vectors (smallest md5_60("ivf:"||id)), two deterministic
+    * Lloyd rounds (per-cell means as exact BIGINT sums of 1e6-scaled
+    * truncated components, renormalized with the same in-order fold),
+    * argmax assignment with ties toward the larger cell index (mirroring
+    * Spark's array_max over struct(s, cell)), nAssign-way multi-assignment
+    * and nProbe probing by descending (score, cell), then the cosine
+    * kernel and rank window. */
+  val embIvfTopK: String = {
+    val nCells = 16; val nProbe = 4; val nAssign = 3
+    val rounds = 2; val k = 5; val dim = 64
+    def dotUC(c: String) = duckDot("u.unit", s"$c.unit")
+    val base = Seq(
+      """v AS (SELECT vec_id AS id,
+        | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        | FROM embeddings)""".stripMargin,
+      s"""u AS (SELECT id, list_transform(vd, x -> x / nrm) AS unit FROM
+         | (SELECT id, vd, sqrt(${duckDot("vd", "vd")}) AS nrm FROM v))"""
+        .stripMargin,
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) AS INTEGER)
+         |   - 1 AS cell, unit
+         | FROM (SELECT id, unit,
+         |   ('0x' || substr(md5('ivf:' || id), 1, 15))::BIGINT AS h FROM u)
+         | QUALIFY row_number() OVER (ORDER BY h, id) <= $nCells)"""
+        .stripMargin)
+    val lloyd = (1 to rounds).flatMap { r =>
+      val prev = s"c${r - 1}"
+      Seq(
+        s"""a$r AS (SELECT id, cell FROM (
+           |  SELECT id, cell, row_number() OVER (PARTITION BY id
+           |    ORDER BY s DESC, cell DESC) AS rk
+           |  FROM (SELECT u.id, c.cell, ${dotUC("c")} AS s
+           |        FROM u, $prev c))
+           |  WHERE rk = 1)""".stripMargin,
+        s"""m$r AS (SELECT cell, pos, CAST(sum(q) AS BIGINT) AS sq,
+           |   count(*) AS n
+           | FROM (SELECT a.cell, i.i AS pos,
+           |   CAST(trunc(u.unit[i.i + 1] * 1000000.0) AS BIGINT) AS q
+           |   FROM a$r a JOIN u ON u.id = a.id, range(0, $dim) i(i))
+           | GROUP BY cell, pos)""".stripMargin,
+        s"""c$r AS (SELECT c.cell,
+           |  CASE WHEN mm.nrm IS NULL OR mm.nrm = 0 THEN c.unit
+           |       ELSE list_transform(mm.m, x -> x / mm.nrm) END AS unit
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cell, m, sqrt(list_reduce(
+           |      list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(m, x -> x * x)),
+           |      (acc, v) -> acc + v)) AS nrm
+           |    FROM (SELECT cell, list(CAST(sq AS DOUBLE) / (n * 1000000.0)
+           |            ORDER BY pos) AS m
+           |          FROM m$r GROUP BY cell)) mm ON mm.cell = c.cell)"""
+          .stripMargin)
+    }
+    val fin = Seq(
+      s"""sc AS (SELECT u.id, c.cell, ${dotUC("c")} AS s
+         | FROM u, c$rounds c)""".stripMargin,
+      """rkd AS (SELECT id, cell, row_number() OVER (PARTITION BY id
+        |  ORDER BY s DESC, cell DESC) AS rk FROM sc)""".stripMargin,
+      s"""cand AS (SELECT DISTINCT p.id AS a, q.id AS b
+         | FROM (SELECT id, cell FROM rkd WHERE rk <= $nProbe) p
+         | JOIN (SELECT id, cell FROM rkd WHERE rk <= $nAssign) q
+         |   ON p.cell = q.cell AND p.id <> q.id)""".stripMargin,
+      s"""cz AS (SELECT c.a, c.b, ${duckDot("x.unit", "y.unit")} AS cos
+         | FROM cand c JOIN u x ON x.id = c.a JOIN u y ON y.id = c.b)"""
+        .stripMargin)
+    OracleCte.withClause((base ++ lloyd ++ fin): _*) +
+      s"""SELECT a AS vec_id, b AS neighbor_id, round(cos, 6) AS cos, rk
+         | FROM (SELECT a, b, cos, row_number() OVER (PARTITION BY a
+         |   ORDER BY cos DESC, b ASC) AS rk FROM cz)
+         | WHERE rk <= $k""".stripMargin.replace("\n", "")
+  }
+
   private val triplesWith: String =
     "WITH RECURSIVE " + Seq(OracleCte.spansCte, OracleCte.gazetteerCte,
       OracleCte.sameAsCte, tokensCte, keptCte, top1Cte, canonCte,

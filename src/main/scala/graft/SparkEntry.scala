@@ -187,16 +187,19 @@ object SparkEntry {
       Similarity.cosineDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
         minCos = 0.4)),
 
-    // ANN paths: approximate — rows-only; recall vs brute force is
-    // property-tested in SimilaritySpec (LSH hyperplanes / IVF centroid
-    // sampling use xxhash64, which DuckDB cannot reproduce)
+    // ANN paths: approximate by design, but fully deterministic and (in
+    // the portable md5 config) replayed end-to-end by the DuckDB oracle —
+    // planes, centroid sampling, Lloyd rounds, probing, ranks. Recall vs
+    // brute force is additionally property-tested in SimilaritySpec.
+    // Runtime plan shape is identical to the xxhash64 production config
+    // (planes/centroids are precomputed driver-side literals either way).
     "emb_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-        k = 5, dim = 64, nPlanes = 6)),
+        k = 5, dim = 64, nPlanes = 6, portable = true)),
 
     "emb_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
-        k = 5, nCells = 16, nProbe = 4)),
+        k = 5, nCells = 16, nProbe = 4, portable = true)),
 
     // multimodal plumbing (stub codec, deterministic — the oracle
     // reproduces the seed arithmetic, so the decode plumbing is
@@ -323,6 +326,8 @@ object SparkEntry {
       "lang_id" -> OracleSql.langId,
       "emb_topk" -> OracleSql.embTopK,
       "emb_dup_pairs" -> OracleSql.embDupPairs,
+      "emb_lsh_topk" -> OracleSql.embLshTopK,
+      "emb_ivf_topk" -> OracleSql.embIvfTopK,
 
       "ntriples_export" -> OracleSql.ntriplesExport,
 

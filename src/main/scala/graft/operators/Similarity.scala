@@ -57,21 +57,37 @@ object Similarity {
         col("rk").cast("bigint").as("rk"))
   }
 
+  /** Driver-side twin of Dedup.portableHash60: first 15 hex chars of
+    * md5(s) parsed base-16 (60 bits, positive) — DuckDB computes the
+    * identical value as ('0x' || substr(md5(s), 1, 15))::BIGINT, which is
+    * what makes the portable LSH/IVF variants oracle-checkable. */
+  private def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
   /** Deterministic random-hyperplane matrix for table `t`: components in
-    * [-1, 1) derived by evaluating the SAME xxhash64 Spark uses, driver-
-    * side, into a plain literal array — zero per-row hash work and no RNG
-    * state. */
-  private def planes(t: Int, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    * [-1, 1) derived driver-side into a plain literal array — zero per-row
+    * hash work and no RNG state. Production derives from the SAME xxhash64
+    * Spark uses; `portable = true` derives from md5 so the DuckDB oracle
+    * can rebuild bit-identical planes in SQL. */
+  private def planes(t: Int, nPlanes: Int, dim: Int,
+      portable: Boolean = false): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (j, i) =>
-      val h = XxHash64(Seq(Literal("graft-lsh"), Literal(t), Literal(j),
-        Literal(i)), 42L).eval(null).asInstanceOf[Long]
+      val h =
+        if (portable) md5Hash60(s"graft-lsh:$t:$j:$i")
+        else XxHash64(Seq(Literal("graft-lsh"), Literal(t), Literal(j),
+          Literal(i)), 42L).eval(null).asInstanceOf[Long]
       val m = ((h % 2000000L) + 2000000L) % 2000000L
       m.toDouble / 1000000.0 - 1.0
     }
 
   /** Bucket bits over an ALREADY-double vector column (no per-plane cast). */
-  private def bucketBits(vd: Column, dim: Int, nPlanes: Int, t: Int): Column =
-    planes(t, nPlanes, dim).zipWithIndex.map { case (p, j) =>
+  private def bucketBits(vd: Column, dim: Int, nPlanes: Int, t: Int,
+      portable: Boolean = false): Column =
+    planes(t, nPlanes, dim, portable).zipWithIndex.map { case (p, j) =>
       when(vdot(vd, typedLit(p.toSeq)) >= 0, shiftleft(lit(1L), j))
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -89,12 +105,13 @@ object Similarity {
     * [[bruteForceTopK]] in the spec suite. */
   def lshTopK(emb: DataFrame, k: Int, dim: Int, nPlanes: Int = 4,
       nTables: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", portable: Boolean = false): DataFrame = {
     val p = prepared(emb, idCol, vecCol, "id")
       .select(col("id"), col("id_vd").as("vd"), col("id_nrm").as("nrm"))
     val bucketed = p.select(col("id"), col("vd"), col("nrm"),
       posexplode(array((0 until nTables).map(t =>
-        bucketBits(col("vd"), dim, nPlanes, t)): _*)).as(Seq("t", "bucket")))
+        bucketBits(col("vd"), dim, nPlanes, t, portable)): _*))
+        .as(Seq("t", "bucket")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     bucketed.as("x").join(bucketed.as("y"),
@@ -110,40 +127,99 @@ object Similarity {
         col("rk").cast("bigint").as("rk"))
   }
 
+  /** struct(dot-score, cell-index) per centroid; array_max over these is
+    * argmax-by-score with ties broken toward the LARGER cell index (struct
+    * ordering) — the DuckDB oracle mirrors with ORDER BY s DESC, cell DESC. */
+  private def cellScoreCols(centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(vdot(col("unit"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
+    }
+
+  /** Lloyd k-means rounds over unit vectors, deterministic and therefore
+    * oracle-reproducible: per-cell means are EXACT sums of 1e6-scaled,
+    * truncated-toward-zero long components (long addition is associative,
+    * so the result is independent of Spark's aggregation order — a plain
+    * double avg would differ in its low bits run to run and flip argmax
+    * assignments at cell boundaries; truncation rather than rounding
+    * because double→long truncation is identical in Spark and DuckDB
+    * while round-half semantics are not guaranteed to be). Each round is one distributed agg collecting nCells×dim
+    * bounded rows; empty cells keep their previous centroid. Renormalized
+    * driver-side in index order (the oracle's list ops fold identically). */
+  private def refineCentroids(p: DataFrame, init: Array[Array[Double]],
+      rounds: Int): Array[Array[Double]] = {
+    var cents = init
+    val dim = init.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until rounds) {
+      val assigned = p.withColumn("cell",
+        array_max(array(cellScoreCols(cents): _*)).getField("cell"))
+      val rows = assigned
+        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum((col("x") * lit(1000000.0)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.groupBy(_.getInt(0)).foreach { case (cell, rs) =>
+        val n = rs.head.getLong(3)
+        val m = new Array[Double](dim)
+        rs.foreach(r => m(r.getInt(1)) = r.getLong(2).toDouble / (n * 1e6))
+        var ss = 0.0
+        var i = 0
+        while (i < dim) { ss += m(i) * m(i); i += 1 }
+        val nrm = math.sqrt(ss)
+        if (nrm > 0) next(cell) = m.map(_ / nrm)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
-    * builder prompt names alongside LSH. nCells "centroids" are a
+    * builder prompt names alongside LSH. nCells seed centroids are a
     * deterministic uniform sample of the data itself (the nCells rows with
-    * the smallest xxhash64(id), L2-normalized) — dimension-sized, collected
-    * once to the driver and baked into the plan as literal vectors (the
-    * same zero-per-row-hash pattern as the LSH hyperplanes). Every vector
-    * is assigned to its argmax-cosine cell (nCells codegen'd dots); each
-    * query probes its nProbe best cells; the quadratic cosine kernel runs
-    * only within probed cells, shuffle key = cell id. At corpus scale the
-    * centroid sample would come from a k-means job; the assignment/probe
-    * plan is unchanged by better centroids.
+    * the smallest seeded hash of id, L2-normalized), refined by
+    * `lloydRounds` deterministic k-means rounds ([[refineCentroids]]), then
+    * collected once to the driver and baked into the plan as literal
+    * vectors (the same zero-per-row-hash pattern as the LSH hyperplanes).
+    * Every vector is assigned to its argmax-cosine cell (nCells codegen'd
+    * dots); each query probes its nProbe best cells in descending centroid-
+    * score order; the quadratic cosine kernel runs only within probed
+    * cells, shuffle key = cell id. `portable = true` swaps the seed hash
+    * from xxhash64 to md5 so the DuckDB oracle can replay the whole
+    * construction (sampling, Lloyd rounds, probing) in SQL.
     * Approximate — recall vs [[bruteForceTopK]] is spec-tested. */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydRounds: Int = 2, nAssign: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(nProbe <= nCells, "nProbe must be <= nCells")
+    require(nAssign <= nCells, "nAssign must be <= nCells")
     val p = prepared(emb, idCol, vecCol, "id")
       .select(col("id"),
         transform(col("id_vd"), x => x / col("id_nrm")).as("unit"))
-    val centroids = p
-      .orderBy(xxhash64(col("id")), col("id"))
+    val seedKey =
+      if (portable)
+        conv(substring(md5(concat(lit("ivf:"), col("id").cast("string"))),
+          1, 15), 16, 10).cast("long")
+      else xxhash64(col("id"))
+    val sampled = p
+      .orderBy(seedKey, col("id"))
       .limit(nCells)
       .select("unit").collect()
       .map(_.getSeq[Double](0).toArray)
-    def cellScores: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
-      struct(vdot(col("unit"), typedLit(c.toSeq)).as("s"), lit(i).as("cell"))
-    }
-    // data side: argmax cell (struct max orders by score, then cell idx)
-    val assigned = p.withColumn("cell",
-      array_max(array(cellScores: _*)).getField("cell"))
-    // query side: the nProbe best cells, descending score
-    val probed = p.withColumn("cell",
+    val centroids = refineCentroids(p, sampled, lloydRounds)
+    def cellScores: Seq[Column] = cellScoreCols(centroids)
+    // the n best cells per vector, descending (score, cell) order
+    def topCells(n: Int): Column =
       explode(slice(transform(
         sort_array(array(cellScores: _*), asc = false),
-        s => s.getField("cell")), 1, nProbe)))
+        s => s.getField("cell")), 1, n))
+    // data side: multi-assignment to the nAssign best cells (standard IVF
+    // recall amplifier — a boundary vector is findable from each of its
+    // nAssign nearest cells at nAssign× index size)
+    val assigned = p.withColumn("cell", topCells(nAssign))
+    // query side: probe the nProbe best cells
+    val probed = p.withColumn("cell", topCells(nProbe))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     probed.as("x").join(assigned.as("y"),
