@@ -64,6 +64,33 @@ object Pipeline {
         }
       }
 
+    assemble(spark, exploded, canon, atScale, observeMetrics)
+  }
+
+  /** Pipeline variant canonicalizing against a PRECOMPUTED component map
+    * (entity_id, canonical) — used by the streaming shim, whose
+    * incremental CC state table already IS the converged map for all
+    * edges seen so far ([[graft.streaming.DocStream]]). Always the
+    * at-scale operator shapes (join remap, broadcast-join predicates):
+    * a cross-batch entity vocabulary is open-world by construction. */
+  def triplesWithComponents(spark: SparkSession, docs: Dataset[Doc],
+      components: DataFrame,
+      gazetteer: Seq[GazEntry] = Spec.Gazetteer,
+      observeMetrics: Boolean = false): DataFrame = {
+    val exploded = SpanOps.wellFormed(SpanOps.explodeSpans(docs))
+    val cands = GazetteerMatcher.candidates(spark,
+      SpanOps.textSpans(exploded), gazetteer)
+    val canon = Canonicalizer.remap(Linker.top1(cands), "entity_id",
+      components)
+    assemble(spark, exploded, canon, atScale = true, observeMetrics)
+  }
+
+  /** Shared tail of both entry points: dedup → triple assembly → union. */
+  private def assemble(spark: SparkSession, exploded: DataFrame,
+      canon: DataFrame, atScale: Boolean,
+      observeMetrics: Boolean): DataFrame = {
+    import spark.implicits._
+
     // M7 predicate mapping: literal-map expression on the fast path,
     // broadcast-join against the predicate dimension on the at-scale path.
     val mapPreds: DataFrame => DataFrame =

@@ -1,10 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Pipeline
-import graft.model.Doc
+import graft.model.{Doc, SameAsEdge, Spec}
+import graft.operators.Canonicalizer
 import graft.sources.{InterleavedDocs, TripleSink}
 
 /** Streaming ingest wrapper (SURVEY.md §2.10: the spec itself is batch
@@ -15,7 +17,21 @@ import graft.sources.{InterleavedDocs, TripleSink}
   * Each micro-batch runs the full construction pipeline and lands in the
   * same bucketed, manifest-tracked triple table — the manifest dedup
   * happens at the bucket level per batch directory.
-  */
+  *
+  * Entity resolution is INCREMENTAL across batches: a versioned
+  * component-map state table (`outPath/_cc_state/batch_id=k`) holds the
+  * converged (entity_id, canonical) map after batch k. Each batch runs
+  * connected components over just (new sameAs edges ∪ prior map as
+  * edges) — contracting a graph's spanning structure preserves its
+  * components, so this equals CC over every edge ever seen, without
+  * rescanning history; input size is O(|vocabulary| + |new edges|), not
+  * O(all edges). Batch triples are canonicalized with the CURRENT map;
+  * when a later batch merges components that earlier batches had already
+  * canonicalized apart, the already-written (append-only) triples become
+  * stale — [[currentView]] re-binds them through the latest map at read
+  * time. An Iceberg deployment would instead MERGE the affected rows;
+  * the bucketed-by-subj layout bounds that rewrite to the touched
+  * buckets. */
 object DocStream {
 
   /** File-source stream of interleaved docs with the frozen schema.
@@ -46,13 +62,17 @@ object DocStream {
     * shuffles just the new batch; an Iceberg deployment would express the
     * same thing as MERGE INTO on the bucketed table. */
   def run(spark: SparkSession, inPath: String, outPath: String,
-      checkpoint: String, maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None,
+      sameAsForBatch: Long => Seq[SameAsEdge] = _ => Spec.SameAs)
+      : StreamingQuery =
     readDocStream(spark, inPath, maxFilesPerTrigger).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         val s = batch.sparkSession
-        val triples = Pipeline.triples(s, batch, observeMetrics = false)
+        val comps = advanceComponents(s, outPath, batchId,
+          sameAsForBatch(batchId))
+        val triples = Pipeline.triplesWithComponents(s, batch, comps)
         val prior = priorBatchDirs(outPath, batchId)
         val novel =
           if (prior.isEmpty) triples
@@ -66,6 +86,86 @@ object DocStream {
         ()
       }
       .start()
+
+  private def statePath(outPath: String): String = s"$outPath/_cc_state"
+
+  /** Incremental CC step: converge (this batch's new edges ∪ the latest
+    * prior state map read as edges) and persist the result as this
+    * batch's state version. Retry-safe: a re-run batch overwrites its own
+    * version and reads only strictly older state, so the step is
+    * idempotent. Returns the new map, read back from its own parquet (a
+    * stable scan, not the iterative CC plan). */
+  private def advanceComponents(s: SparkSession, outPath: String,
+      batchId: Long, newEdges: Seq[SameAsEdge]): DataFrame = {
+    import s.implicits._
+    val edgesNew = s.createDataset(newEdges)
+      .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
+    val edges = latestState(s, outPath, beforeBatch = batchId) match {
+      case Some(st) =>
+        edgesNew.union(
+          st.select(col("entity_id").as("src"), col("canonical").as("dst")))
+      case None => edgesNew
+    }
+    val comps = Canonicalizer.connectedComponents(s, edges)
+    val dir = s"${statePath(outPath)}/batch_id=$batchId"
+    comps.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  /** Latest persisted component map strictly before `beforeBatch`
+    * (Long.MaxValue → the newest of all). */
+  private def latestState(s: SparkSession, outPath: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    val root = java.nio.file.Paths.get(statePath(outPath))
+    if (!java.nio.file.Files.isDirectory(root)) return None
+    val listing = java.nio.file.Files.list(root)
+    val latest = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .flatMap(_.getFileName.toString.stripPrefix("batch_id=").toLongOption)
+        .filter(_ < beforeBatch)
+        .maxOption
+    } finally listing.close()
+    latest.map(b =>
+      s.read.parquet(s"${statePath(outPath)}/batch_id=$b"))
+  }
+
+  /** The exact current triple set: the union of all (append-only) batch
+    * sub-tables with any STALE canonical-entity URIs re-bound through the
+    * latest component map, then deduped. Late binding keeps batch output
+    * immutable while cross-batch component merges stay retroactively
+    * correct — this view over N batches equals a single batch run over
+    * the same docs with all edges ([[graft.Pipeline.triples]]), which is
+    * spec-asserted. The re-bind map is dimension-sized (only entities
+    * whose canonical differs from themselves) and broadcast; literal
+    * objects are never touched. */
+  def currentView(spark: SparkSession, outPath: String): DataFrame = {
+    val raw = spark.read.option("basePath", outPath).parquet(outPath)
+      .select("subj", "pred", "obj", "obj_type")
+    latestState(spark, outPath, beforeBatch = Long.MaxValue) match {
+      case None => raw
+      case Some(st) =>
+        val uriMap = broadcast(
+          st.filter(col("entity_id") =!= col("canonical"))
+            .select(Spec.entUriCol(col("entity_id")).as("u_from"),
+              Spec.entUriCol(col("canonical")).as("u_to")))
+        raw
+          .join(uriMap.withColumnRenamed("u_from", "subj"),
+            Seq("subj"), "left")
+          .withColumn("subj", coalesce(col("u_to"), col("subj")))
+          .drop("u_to")
+          .join(uriMap.withColumnRenamed("u_from", "obj"),
+            Seq("obj"), "left")
+          .withColumn("obj", when(col("obj_type") === "iri",
+            coalesce(col("u_to"), col("obj"))).otherwise(col("obj")))
+          .drop("u_to")
+          .dropDuplicates("subj", "pred", "obj")
+          // joins on Seq("subj")/Seq("obj") move the key column to the
+          // front; restore the triple contract's column order
+          .select("subj", "pred", "obj", "obj_type")
+    }
+  }
 
   /** Completed batch sub-tables already on disk (excluding `batchId`
     * itself, which a failed-and-retried micro-batch may have partially
