@@ -45,26 +45,60 @@ object Pipeline {
     val cands = GazetteerMatcher.candidates(spark, SpanOps.textSpans(exploded),
       gazetteer)
     val kept = Linker.top1(cands)
-    val canon =
+    val (canon, entUris) =
       if (atScale) {
         val edges = spark.createDataset(sameAs)
           .select(col("src_entity").as("src"), col("dst_entity").as("dst"))
         val components = Canonicalizer.connectedComponents(spark, edges,
           smallGraphThreshold = 0L)
-        Canonicalizer.remap(kept, "entity_id", components)
+        (Canonicalizer.remap(kept, "entity_id", components),
+          entUriDimFromComponents(spark, gazetteer, components))
       } else {
         val canonMap = Canonicalizer.componentsLocal(
           sameAs.map(e => (e.src_entity, e.dst_entity)))
-        if (canonMap.isEmpty) kept
-        else {
-          val m = map(canonMap.toSeq.sortBy(_._1)
-            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-          kept.withColumn("entity_id",
-            coalesce(element_at(m, col("entity_id")), col("entity_id")))
-        }
+        val remapped =
+          if (canonMap.isEmpty) kept
+          else {
+            val m = map(canonMap.toSeq.sortBy(_._1)
+              .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+            kept.withColumn("entity_id",
+              coalesce(element_at(m, col("entity_id")), col("entity_id")))
+          }
+        (remapped, entUriDim(spark, gazetteer, canonMap))
       }
 
-    assemble(spark, exploded, canon, atScale, observeMetrics)
+    assemble(spark, exploded, canon, entUris, atScale, observeMetrics)
+  }
+
+  /** Canonical entity-URI dimension minted from the GAZETTEER vocabulary,
+    * not from a corpus scan: every entity_id the pipeline can emit is
+    * canon(g) for some gazetteer entity g, so {canon(g)} is a complete,
+    * dimension-sized URI key set. Minting here keeps sha2 off the corpus
+    * plan entirely AND removes the corpus-wide distinct + broadcast-
+    * subquery dependency on the match chain that a base-derived dimension
+    * had (a broadcast subplan cannot reuse the main plan's shuffle
+    * exchange, so it re-ran the whole match+top1 chain a second time —
+    * measured ~1.5× on kg_write at local[4]). */
+  private def entUriDim(spark: SparkSession, gazetteer: Seq[GazEntry],
+      canonMap: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val canonIds = gazetteer.map(_.entity_id)
+      .map(id => canonMap.getOrElse(id, id)).distinct.sorted
+    spark.createDataset(canonIds).toDF("entity_id")
+      .withColumn("ent_uri", Spec.entUriCol(col("entity_id")))
+  }
+
+  /** [[entUriDim]] for the at-scale/streaming paths, where the component
+    * map is a DataFrame: remap the gazetteer-entity dimension through it
+    * (dimension × dimension join), then mint. */
+  private def entUriDimFromComponents(spark: SparkSession,
+      gazetteer: Seq[GazEntry], components: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = spark.createDataset(gazetteer.map(_.entity_id).distinct.sorted)
+      .toDF("entity_id")
+    Canonicalizer.remap(dim, "entity_id", components)
+      .distinct()
+      .withColumn("ent_uri", Spec.entUriCol(col("entity_id")))
   }
 
   /** Pipeline variant canonicalizing against a PRECOMPUTED component map
@@ -82,12 +116,14 @@ object Pipeline {
       SpanOps.textSpans(exploded), gazetteer)
     val canon = Canonicalizer.remap(Linker.top1(cands), "entity_id",
       components)
-    assemble(spark, exploded, canon, atScale = true, observeMetrics)
+    assemble(spark, exploded, canon,
+      entUriDimFromComponents(spark, gazetteer, components),
+      atScale = true, observeMetrics)
   }
 
   /** Shared tail of both entry points: dedup → triple assembly → union. */
   private def assemble(spark: SparkSession, exploded: DataFrame,
-      canon: DataFrame, atScale: Boolean,
+      canon: DataFrame, entUriDim: DataFrame, atScale: Boolean,
       observeMetrics: Boolean): DataFrame = {
     import spark.implicits._
 
@@ -102,12 +138,14 @@ object Pipeline {
     // G4 dedup happens BEFORE URI minting on the narrow natural keys —
     // far cheaper than deduping full minted-URI strings. The single
     // distinct collapses per-doc mention repetition (map-side combine) in
-    // ONE pass over the matcher output. No .cache(): the three small
-    // aggregates below all consume `base` inside the one returned plan, so
+    // ONE pass over the matcher output. No .cache(): base's only
+    // consumers (mentions, labels) live inside the one returned plan, so
     // the distinct's shuffle is computed once and shared via
     // ReusedExchange — the match+top1+remap chain runs exactly once, with
     // disk-backed shuffle files instead of pinned executor memory and no
-    // unpersist lifecycle to leak.
+    // unpersist lifecycle to leak. (The URI dimension deliberately does
+    // NOT derive from base: a broadcast subquery cannot reuse the main
+    // plan's exchange — see entUriDim.)
     val base = canon.select(col("doc_id"), col("entity_id"), col("surface"))
       .distinct()
 
@@ -119,12 +157,12 @@ object Pipeline {
       .select(col("doc_id"), col("media_ref").as("entity_id")).distinct()
       .withColumn("link_kind", lit("media"))
 
-    // Salted-hash URIs are minted once per DISTINCT canonical entity (a
-    // dimension-sized set), then joined back — not sha2'd per corpus row.
-    // Broadcast at gazetteer-bounded cardinality; swap for a sort-merge
-    // join on open-world entity vocabularies.
-    val entUris = broadcast(base.select("entity_id").distinct()
-      .withColumn("ent_uri", Spec.entUriCol(col("entity_id"))))
+    // Salted-hash URIs are minted once per DISTINCT canonical entity (the
+    // gazetteer-derived dimension computed by the caller — see entUriDim),
+    // then joined back — not sha2'd per corpus row. Broadcast at
+    // gazetteer-bounded cardinality; swap for a sort-merge join on
+    // open-world entity vocabularies.
+    val entUris = broadcast(entUriDim)
 
     val mentionTriples = mapPreds(mentions.join(entUris, "entity_id"))
       .select(Spec.docUriCol(col("doc_id")).as("subj"), col("pred"),
