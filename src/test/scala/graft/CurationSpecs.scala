@@ -255,6 +255,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("IVF survives duplicate vectors (exact score ties in argmax/probing)") {
+    // duplicated vectors make sampled centroids collide and cell scores tie
+    // EXACTLY — exercising the struct-max tie-break (larger cell index) and
+    // the empty-cell keep-previous path in the Lloyd rounds
+    val rows = (0L until 40L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        (((i % 4) * 8 + j).toFloat + 1f) / 10f) // only 4 distinct vectors
+      (i, v)
+    }
+    val df = spark.createDataset(rows.toSeq).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, k = 3, nCells = 8, nProbe = 2,
+      lloydRounds = 2, nAssign = 2)
+      .select($"vec_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r._1 == r._2), "self pair leaked")
+    // every duplicate of a vector is that vector's perfect neighbor: the
+    // top-k for any id must be all-cos≈1 pairs (9 clones of each vector)
+    out.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.forall(r => math.abs(r._3 - 1.0) < 1e-9),
+        s"vec $id: non-duplicate ranked above a clone: ${rs.mkString(",")}")
+    }
+    // determinism under ties
+    val again = Similarity.ivfTopK(df, k = 3, nCells = 8, nProbe = 2,
+      lloydRounds = 2, nAssign = 2)
+      .select($"vec_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("LSH bucket ids are deterministic across evaluations") {
     val b1 = emb.select($"vec_id",
       Similarity.lshBucket($"embedding", 64, 6).as("b")).collect()
