@@ -109,7 +109,35 @@ object DocStream {
     val comps = Canonicalizer.connectedComponents(s, edges)
     val dir = s"${statePath(outPath)}/batch_id=$batchId"
     comps.write.mode("overwrite").parquet(dir)
+    // retention: each version is a FULL converged map, so only the newest
+    // matters going forward; keep this one plus its immediate predecessor
+    // (the retry-safety read target for a re-run of THIS batch) and drop
+    // everything older — without this, a long-running stream accumulates
+    // one map copy per micro-batch forever.
+    pruneStateVersions(outPath, keepNewest = 2)
     s.read.parquet(dir)
+  }
+
+  /** Delete all but the `keepNewest` highest-numbered state versions. */
+  private def pruneStateVersions(outPath: String, keepNewest: Int): Unit = {
+    val root = java.nio.file.Paths.get(statePath(outPath))
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val listing = java.nio.file.Files.list(root)
+    val versions = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .flatMap(p => p.getFileName.toString.stripPrefix("batch_id=")
+          .toLongOption.map(_ -> p))
+        .toSeq.sortBy(-_._1)
+    } finally listing.close()
+    versions.drop(keepNewest).foreach { case (_, p) =>
+      scala.util.Try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
   }
 
   /** Latest persisted component map strictly before `beforeBatch`

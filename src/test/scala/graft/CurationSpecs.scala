@@ -441,5 +441,16 @@ class StreamingSpec extends SparkTestBase {
     // ...and the view equals the one-shot batch run with ALL edges
     val batch = Pipeline.triples(spark, docs)
     assert(view.except(batch).isEmpty && batch.except(view).isEmpty)
+
+    // state retention: every version is a full map, so only the newest +
+    // its retry-safety predecessor survive a multi-batch run
+    val stateDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/out/_cc_state"))
+    val nVersions = try {
+      import scala.jdk.CollectionConverters._
+      stateDirs.iterator().asScala
+        .count(_.getFileName.toString.startsWith("batch_id="))
+    } finally stateDirs.close()
+    assert(nVersions <= 2, s"state versions not pruned: $nVersions")
   }
 }
