@@ -343,41 +343,56 @@ object OracleSql {
     * every dot product uses the same in-order list_reduce accumulation as
     * the codegen'd DoubleDot, so bucket sign bits, cosines, and ranks
     * agree bit-for-bit. */
+  /** Shared CTE chain for the portable sign-LSH family: unit-prep, md5
+    * hyperplane rebuild, bucket bits, co-bucketed candidate pairs
+    * (`pairPred` picks <> for top-k vs < for dup pairs), cosine verify. */
+  private def lshCtes(nTables: Int, nPlanes: Int, dim: Int,
+      pairPred: String): Seq[String] = Seq(
+    """v AS (SELECT vec_id AS id,
+      | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      | FROM embeddings)""".stripMargin,
+    s"n AS (SELECT id, vd, sqrt(${duckDot("vd", "vd")}) AS nrm FROM v)",
+    s"""pl AS (
+       |  SELECT t, j, list(v ORDER BY i) AS p FROM (
+       |    SELECT t.t, j.j, i.i,
+       |      (('0x' || substr(md5('graft-lsh:' || t.t || ':' || j.j ||
+       |        ':' || i.i), 1, 15))::BIGINT % 2000000) / 1000000.0 - 1.0
+       |        AS v
+       |    FROM range(0, $nTables) t(t), range(0, $nPlanes) j(j),
+       |         range(0, $dim) i(i))
+       |  GROUP BY t, j)""".stripMargin,
+    s"""bt AS (
+       |  SELECT id, t, CAST(sum(CASE WHEN s >= 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT n.id, pl.t, pl.j, ${duckDot("n.vd", "pl.p")} AS s
+       |        FROM n, pl)
+       |  GROUP BY id, t)""".stripMargin,
+    s"""cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       | FROM bt x JOIN bt y
+       |   ON x.t = y.t AND x.bucket = y.bucket AND x.id $pairPred y.id)"""
+      .stripMargin,
+    s"""cz AS (SELECT c.a, c.b,
+       | ${duckDot("x.vd", "y.vd")} / (x.nrm * y.nrm) AS cos
+       | FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b)"""
+      .stripMargin)
+
   val embLshTopK: String = {
-    val nTables = 8; val nPlanes = 6; val dim = 64; val k = 5
+    val k = 5
     OracleCte.withClause(
-      """v AS (SELECT vec_id AS id,
-        | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-        | FROM embeddings)""".stripMargin,
-      s"n AS (SELECT id, vd, sqrt(${duckDot("vd", "vd")}) AS nrm FROM v)",
-      s"""pl AS (
-         |  SELECT t, j, list(v ORDER BY i) AS p FROM (
-         |    SELECT t.t, j.j, i.i,
-         |      (('0x' || substr(md5('graft-lsh:' || t.t || ':' || j.j ||
-         |        ':' || i.i), 1, 15))::BIGINT % 2000000) / 1000000.0 - 1.0
-         |        AS v
-         |    FROM range(0, $nTables) t(t), range(0, $nPlanes) j(j),
-         |         range(0, $dim) i(i))
-         |  GROUP BY t, j)""".stripMargin,
-      s"""bt AS (
-         |  SELECT id, t, CAST(sum(CASE WHEN s >= 0
-         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM (SELECT n.id, pl.t, pl.j, ${duckDot("n.vd", "pl.p")} AS s
-         |        FROM n, pl)
-         |  GROUP BY id, t)""".stripMargin,
-      """cand AS (SELECT DISTINCT x.id AS a, y.id AS b
-        | FROM bt x JOIN bt y
-        |   ON x.t = y.t AND x.bucket = y.bucket AND x.id <> y.id)"""
-        .stripMargin,
-      s"""cz AS (SELECT c.a, c.b,
-         | ${duckDot("x.vd", "y.vd")} / (x.nrm * y.nrm) AS cos
-         | FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b)"""
-        .stripMargin) +
+      lshCtes(nTables = 8, nPlanes = 6, dim = 64, pairPred = "<>"): _*) +
       s"""SELECT a AS vec_id, b AS neighbor_id, round(cos, 6) AS cos, rk
          | FROM (SELECT a, b, cos, row_number() OVER (PARTITION BY a
          |   ORDER BY cos DESC, b ASC) AS rk FROM cz)
          | WHERE rk <= $k""".stripMargin.replace("\n", "")
   }
+
+  /** Portable sign-LSH near-dup oracle: twin of Similarity.lshDupPairs(
+    * minCos=0.4, dim=64, nPlanes=6, nTables=8, portable=true). */
+  val embLshDupPairs: String =
+    OracleCte.withClause(
+      lshCtes(nTables = 8, nPlanes = 6, dim = 64, pairPred = "<"): _*) +
+      """SELECT a, b, round(cos, 6) AS cos FROM cz
+        | WHERE round(cos, 6) >= 0.4""".stripMargin.replace("\n", "")
 
   /** Portable IVF ANN oracle: exact twin of Similarity.ivfTopK(k=5,
     * nCells=16, nProbe=4, lloydRounds=2, nAssign=3, portable=true). The

@@ -201,6 +201,13 @@ object SparkEntry {
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 5, nCells = 16, nProbe = 4, portable = true)),
 
+    // near-dup at scale: the LSH-bucketed verify (emb_dup_pairs is the
+    // exact brute-force baseline; this is the candidate-generation path
+    // that survives corpus scale)
+    "emb_lsh_dup_pairs" -> ((s, dir) =>
+      Similarity.lshDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        minCos = 0.4, dim = 64, nPlanes = 6, portable = true)),
+
     // multimodal plumbing (stub codec, deterministic — the oracle
     // reproduces the seed arithmetic, so the decode plumbing is
     // hash-checked end-to-end)
@@ -328,6 +335,7 @@ object SparkEntry {
       "emb_dup_pairs" -> OracleSql.embDupPairs,
       "emb_lsh_topk" -> OracleSql.embLshTopK,
       "emb_ivf_topk" -> OracleSql.embIvfTopK,
+      "emb_lsh_dup_pairs" -> OracleSql.embLshDupPairs,
 
       "ntriples_export" -> OracleSql.ntriplesExport,
 

@@ -249,6 +249,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfRecall >= 0.8, f"portable IVF recall below bar: $ivfRecall%.3f")
   }
 
+  test("LSH dup pairs: exact-verified subset; recall tracks the LSH curve") {
+    // at the LOW cos=0.4 threshold the theoretical sign-LSH recall for the
+    // 8-table × 6-plane config is 1-(1-(1-θ/π)^6)^8 ≈ 0.41 — the operator
+    // is designed for the HIGH-cos near-dup regime (next test); here we
+    // assert the verify is exact (zero false positives) and recall is at
+    // least the theory floor
+    val exact = Similarity.cosineDupPairs(emb, minCos = 0.4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    for (portable <- Seq(false, true)) {
+      val approx = Similarity.lshDupPairs(emb, minCos = 0.4, dim = 64,
+          nPlanes = 6, portable = portable)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else (exact intersect approx).size.toDouble / exact.size
+      info(f"LSH dup-pair recall @cos0.4 (portable=$portable) = " +
+        f"$recall%.3f (${approx.size}/${exact.size} pairs)")
+      assert(approx.subsetOf(exact), "false positive survived the verify")
+      assert(recall >= 0.35, f"dup-pair recall below theory: $recall%.3f")
+    }
+  }
+
+  test("LSH dup pairs find essentially all TRUE near-dups (cos >= 0.95)") {
+    // the designed regime: deterministic tiny perturbations of base
+    // vectors — theory recall 1-(1-0.9^6)^8 ≈ 0.998 at cos 0.95
+    val rows = (0L until 60L).flatMap { i =>
+      val base = Array.tabulate(16)(j =>
+        math.sin(i * 16 + j + 1).toFloat)
+      val pert = base.zipWithIndex.map { case (x, j) =>
+        x + 0.02f * math.cos(i + j).toFloat }
+      Seq((i * 2, base), (i * 2 + 1, pert))
+    }
+    val df = spark.createDataset(rows.toSeq).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairs(df, minCos = 0.95)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 50, s"fixture produced too few near-dups: ${exact.size}")
+    val approx = Similarity.lshDupPairs(df, minCos = 0.95, dim = 16,
+        nPlanes = 6).select($"a", $"b").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"near-dup regime recall = $recall%.3f (${exact.size} true pairs)")
+    assert(approx.subsetOf(exact))
+    assert(recall >= 0.95, f"near-dup recall below design point: $recall%.3f")
+  }
+
   test("IVF is deterministic across runs") {
     val a = Similarity.ivfTopK(emb, k = 3).collect().map(_.toString).sorted
     val b = Similarity.ivfTopK(emb, k = 3).collect().map(_.toString).sorted
