@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.VectorFunctions.vdot
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (Array[Float]) — brute-force cosine top-k as the exact baseline, and a
-  * deterministic multi-table sign-LSH variant as the sub-quadratic scale
-  * path (builder prompt "Similarity search").
+/** Similarity search over an embedding column (Array[Float]) — exact
+  * brute-force baselines (top-k, dup pairs) plus two sub-quadratic scale
+  * paths: deterministic multi-table sign-LSH (top-k and near-dup pairs)
+  * and an IVF coarse quantizer with deterministic Lloyd refinement
+  * (builder prompt "Similarity search"). The portable md5 configs of all
+  * approximate paths are replayed end-to-end by DuckDB oracles.
   *
   * Kernel design: vectors are cast to double and L2-normalized ONCE per
   * row; every pairwise similarity is then a single codegen'd

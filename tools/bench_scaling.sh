@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence (BENCH/BASELINE.md frozen protocol):
-# the same Bench workload at N and 4N cores on the same input,
+# the same Bench workload at N and 4N cores on the same input (context
+# table only — the ACCEPTANCE scaling number comes from bench_kgw_steady.sh),
 # 1 discarded warm-up + RUNS timed runs each; results land in BENCH/ as
 # raw JSON lines for scaling.py to aggregate into BENCH/BASELINE.md.
 #

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Aggregate BENCH/raw_cpus{N}.jsonl into BENCH/BASELINE.md:
+"""Aggregate BENCH/raw_cpus{N}.jsonl into BENCH/SUITE_CONTEXT.md:
 median per-query seconds at each parallelism, throughput from the
 north-star write workload, and scaling efficiency eff = (thr_4N/thr_N)/4
 for each measured (N, 4N) pair (frozen protocol; >= 0.8 required).
@@ -35,10 +35,14 @@ cpus_list = sorted(data)
 sf = next(iter(data.values()))[2]
 
 lines = [
-    "# BENCH/BASELINE.md — measured baseline (this engine)",
+    "# BENCH/SUITE_CONTEXT.md — retired suite-embedded variant (per-query context)",
     "",
-    "See ANALYSIS.md for stage-level scaling attribution and the single-box",
-    "memory/disk-sharing confound of the local[N] substitute.",
+    "The ACCEPTANCE scaling number lives in BENCH/BASELINE.md (frozen paired",
+    "steady-state protocol, tools/bench_kgw_steady.sh). This file tracks",
+    "per-query medians of the full Bench suite per parallelism — useful for",
+    "round-over-round per-query trends; its kg_write scaling figure is",
+    "biased low by suite context (colder page cache) and is NOT the",
+    "criterion. See ANALYSIS.md.",
     "",
     f"Input: `{sf}` + synthesized interleaved corpus (1M docs, 2% head skew).",
     "Protocol: 1 discarded warm-up + 3 timed runs per parallelism; medians.",
@@ -72,5 +76,5 @@ lines += [
     "| total bench suite | "
     + " | ".join(f"{data[c][1]:.1f} s" for c in cpus_list) + " |",
 ]
-(bench / "BASELINE.md").write_text("\n".join(lines) + "\n")
+(bench / "SUITE_CONTEXT.md").write_text("\n".join(lines) + "\n")
 print("\n".join(lines))
