@@ -394,6 +394,94 @@ object OracleSql {
       """SELECT a, b, round(cos, 6) AS cos FROM cz
         | WHERE round(cos, 6) >= 0.4""".stripMargin.replace("\n", "")
 
+  /** Composite curation oracle: exact twin of Curation.curateDocs(
+    * keepLang="en", minQuality=0.7, n=3, numHashes=64, bands=16,
+    * minEstJaccard=0.5, maxDocFreq=Spec.DedupMaxDocFreq, portable=true).
+    * Replays the WHOLE chain in one recursive SQL: language-ID argmax,
+    * quality score, exact dedup keep-min, MinHash-LSH candidate pairs
+    * over the filtered survivors (shingle pruning df computed WITHIN the
+    * survivor set, like the Spark side), and the near-dup connected
+    * components via the same recursive-reachability pattern as the
+    * cc_components oracle. */
+  val curateDocs: String = {
+    val numHashes = 64; val bands = 16; val rows = numHashes / bands
+    val slots = (0 until numHashes).map(j =>
+      s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j")
+      .mkString(", ")
+    val sigList = (0 until numHashes).map(j => s"h$j").mkString("[", ", ", "]")
+    "WITH RECURSIVE " + Seq(
+      profilesCte,
+      """ltoks AS (SELECT doc_id AS id,
+        |  unnest(string_split(lower(text), ' ')) AS tok FROM documents)"""
+        .stripMargin,
+      """lhits AS (SELECT id, lang, count(*) AS score FROM ltoks
+        |  JOIN profiles ON tok = word GROUP BY id, lang)""".stripMargin,
+      """lbest AS (SELECT id, lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, lang ASC) AS rn FROM lhits) WHERE rn = 1)"""
+        .stripMargin,
+      """lng AS (SELECT d.doc_id AS id,
+        |  CASE WHEN regexp_matches(d.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       ELSE coalesce(b.lang, 'und') END AS lang_id
+        |  FROM documents d LEFT JOIN lbest b ON d.doc_id = b.id)"""
+        .stripMargin,
+      """qual AS (SELECT id, n AS n_tokens,
+        |  round(least(1.0, n / 50.0) * 0.4
+        |    + (1.0 - CAST(nstop AS DOUBLE) / n) * 0.3
+        |    + least(1.0, meanlen / 8.0) * 0.3, 6) AS quality
+        |  FROM (SELECT doc_id AS id, len(string_split(text, ' ')) AS n,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('a', 'the', 'and', 'of', 'is'))) AS nstop,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS meanlen
+        |    FROM documents))""".stripMargin,
+      """base AS (SELECT d.doc_id AS id, d.text, l.lang_id, q.quality,
+        |  q.n_tokens
+        |  FROM documents d JOIN lng l ON l.id = d.doc_id
+        |  JOIN qual q ON q.id = d.doc_id
+        |  WHERE l.lang_id = 'en' AND q.quality >= 0.7)""".stripMargin,
+      "ek AS (SELECT min(id) AS id FROM base GROUP BY md5(text))",
+      "kept AS (SELECT b.* FROM base b JOIN ek ON ek.id = b.id)",
+      """sh2 AS (SELECT DISTINCT id,
+        |  unnest(list_transform(range(1, len(w) - 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+        |  FROM (SELECT id, string_split(text, ' ') AS w FROM kept)
+        |  WHERE len(w) >= 3)""".stripMargin,
+      s"""shf2 AS (SELECT shingle FROM sh2 GROUP BY shingle
+         |  HAVING count(*) <= ${Spec.DedupMaxDocFreq})""".stripMargin,
+      "shp2 AS (SELECT sh2.id, sh2.shingle FROM sh2 JOIN shf2 USING (shingle))",
+      s"""sig2 AS (SELECT id, $sigList AS sig FROM
+         |  (SELECT id, $slots FROM shp2 GROUP BY id))""".stripMargin,
+      s"""banded2 AS (SELECT id, b.band,
+         |  array_to_string(list_slice(sig, b.band * $rows + 1,
+         |    b.band * $rows + $rows), '_') AS bandkey
+         |  FROM sig2, (SELECT unnest(range(0, $bands)) AS band) b)"""
+        .stripMargin,
+      """cand2 AS (SELECT DISTINCT x.id AS a, y.id AS b FROM banded2 x
+        |  JOIN banded2 y ON x.band = y.band AND x.bandkey = y.bandkey
+        |  AND x.id < y.id)""".stripMargin,
+      s"""pr AS (SELECT a, b FROM (
+         |  SELECT c.a, c.b,
+         |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+         |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est
+         |  FROM cand2 c JOIN sig2 sa ON sa.id = c.a
+         |  JOIN sig2 sb ON sb.id = c.b)
+         |  WHERE round(est, 6) >= 0.5)""".stripMargin,
+      "edges2 AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr)",
+      """reach2(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges2)
+        |  UNION
+        |  SELECT r.a, e.b FROM reach2 r JOIN edges2 e ON r.b = e.a)"""
+        .stripMargin,
+      """canon2 AS (SELECT a AS id, min(b) AS canonical FROM reach2
+        |  GROUP BY a)""".stripMargin,
+      "losers AS (SELECT id FROM canon2 WHERE id <> canonical)"
+    ).mkString("", ", ", " ") +
+      """SELECT k.id AS doc_id, k.lang_id, k.quality, k.n_tokens
+        | FROM kept k LEFT JOIN losers lo ON lo.id = k.id
+        | WHERE lo.id IS NULL""".stripMargin.replace("\n", "")
+  }
+
   /** Portable IVF ANN oracle: exact twin of Similarity.ivfTopK(k=5,
     * nCells=16, nProbe=4, lloydRounds=2, nAssign=3, portable=true). The
     * whole construction is replayed in SQL: md5-seeded uniform sample of

@@ -164,6 +164,13 @@ object SparkEntry {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         maxHamming = 3, hasher = Dedup.PortableMd5Hasher)),
 
+    // composite curation flagship: lang filter -> quality filter -> exact
+    // dedup -> MinHash near-dup clustering (CC) -> keep cluster min; the
+    // oracle replays the whole chain incl. the CC fixpoint recursively
+    "curate_docs" -> ((s, dir) =>
+      Curation.curateDocs(s, s.read.parquet(s"$dir/documents.parquet"),
+        keepLang = "en", minQuality = 0.7, portable = true)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -326,6 +333,7 @@ object SparkEntry {
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,
       "dedup_simhash" -> OracleSql.simHashPairs,
+      "curate_docs" -> OracleSql.curateDocs,
       "media_decode" -> OracleSql.mediaDecode,
       "text_stats" -> OracleSql.textStats,
       "text_quality" -> OracleSql.textQuality,

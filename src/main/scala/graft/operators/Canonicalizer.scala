@@ -35,7 +35,8 @@ object Canonicalizer {
     // row.) The iterative star path below is the at-scale path and the
     // two are property-tested to agree.
     val dedup = edges.select(src, dst).filter(src =!= dst).distinct().cache()
-    if (dedup.count() <= smallGraphThreshold)
+    if (dedup.count() <= smallGraphThreshold &&
+        locallySupported(dedup.schema.fields(0).dataType))
       return unionFindLocal(spark, dedup)
 
     // large-star: for each u over the symmetrized neighborhood, connect all
@@ -106,10 +107,14 @@ object Canonicalizer {
   }
 
   /** Plain-Scala union-find over an in-memory edge list: node → component
-    * min. Used for fixture/dimension-sized sameAs sets — zero Spark jobs. */
-  def componentsLocal(edges: Seq[(String, String)]): Map[String, String] = {
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+    * min under `ord` — the SAME ordering Spark's least/min gives the
+    * column type, so the fast path and the star path agree for every
+    * supported node type (numeric min for numeric ids, lexicographic for
+    * strings). Zero Spark jobs. */
+  def componentsLocalT[T](edges: Seq[(T, T)])
+      (implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -119,23 +124,54 @@ object Canonicalizer {
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // union by min id keeps canonical = component min
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
     val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
     nodes.iterator.map(n => n -> find(n)).toMap
   }
 
+  /** String-id convenience used by the pipeline's fixture fast path. */
+  def componentsLocal(edges: Seq[(String, String)]): Map[String, String] =
+    componentsLocalT(edges)
+
+  /** Node types the driver fast path supports with an ordering identical
+    * to Spark's for that type; anything else takes the star path (which
+    * is ordering-correct for every type by construction). */
+  private def locallySupported(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType => true
+    case _ => false
+  }
+
   /** Driver-side union-find over a broadcast-sized, deduped edge set;
-    * same output contract as [[connectedComponents]]. */
+    * same output contract AND same per-type ordering as the star path of
+    * [[connectedComponents]] (a round-3 fix: this path used to cast ids
+    * to string, silently swapping numeric min for lexicographic min on
+    * long ids and disagreeing with the distributed path). */
   private def unionFindLocal(spark: SparkSession,
       dedup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     import spark.implicits._
-    val es = dedup.as[(String, String)].collect()
+    val dt = dedup.schema.fields(0).dataType
+    val out = dt match {
+      case StringType =>
+        val canon = componentsLocalT(dedup.as[(String, String)].collect().toSeq)
+        spark.createDataset(canon.toSeq.sortBy(_._1)).toDF("entity_id", "canonical")
+      case LongType =>
+        val canon = componentsLocalT(dedup.as[(Long, Long)].collect().toSeq)
+        spark.createDataset(canon.toSeq.sortBy(_._1)).toDF("entity_id", "canonical")
+      case IntegerType =>
+        val canon = componentsLocalT(dedup.as[(Int, Int)].collect().toSeq)
+        spark.createDataset(canon.toSeq.sortBy(_._1)).toDF("entity_id", "canonical")
+      case other =>
+        throw new IllegalStateException(
+          s"unionFindLocal on unsupported node type $other")
+    }
     dedup.unpersist()
-    val canon = componentsLocal(es.toSeq)
-    spark.createDataset(canon.toSeq.sortBy(_._1))
-      .toDF("entity_id", "canonical")
+    out
   }
 
   /** C4: rewrite an id column through the component map; ids without a

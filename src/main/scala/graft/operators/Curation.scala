@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Spec
+
+/** End-to-end training-data curation over a documents table — the
+  * composite flagship the individual curation operators exist for
+  * (builder prompt: "the operations a large-scale training-data pipeline
+  * would need"), expressed as ONE declarative chain:
+  *
+  *   1. language filter      — [[TextAnalysis.langId]] == keepLang
+  *   2. quality filter       — [[TextAnalysis.qualityScore]] ≥ minQuality
+  *   3. exact dedup          — among byte-identical texts keep min doc_id
+  *                             (hash groupBy + left-semi, no full-text
+  *                             shuffle of survivors)
+  *   4. near-dup clustering  — MinHash-LSH candidate pairs
+  *                             ([[Dedup.minHashLshPairs]]) form a graph;
+  *                             [[Canonicalizer.connectedComponents]] (the
+  *                             SAME operator the KG path uses) clusters
+  *                             it; each cluster keeps its min doc_id.
+  *
+  * Cluster-min retention (rather than "drop b of every pair") makes the
+  * survivor set well-defined under transitive chains a~b~c and matches
+  * the KG path's canonicalization semantics. Every stage is an equi-join
+  * or hash aggregate on a derived key — no all-pairs work anywhere — and
+  * the whole construction (including the CC fixpoint) is replayed by a
+  * recursive DuckDB oracle, so the driver gate hash-checks the composite
+  * end to end.
+  */
+object Curation {
+
+  /** Surviving documents with their curation features:
+    * (doc_id, lang_id, quality, n_tokens). */
+  def curateDocs(spark: SparkSession, docs: DataFrame,
+      keepLang: String = "en", minQuality: Double = 0.7,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5,
+      maxDocFreq: Long = Spec.DedupMaxDocFreq,
+      portable: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lang = TextAnalysis.langId(spark, docs, idCol, textCol)
+      .select(col("id"), col("lang_id"))
+    val qual = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col("id"), col("quality"), col("n_tokens"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(lang, "id")
+      .join(qual, "id")
+      .filter(col("lang_id") === keepLang && col("quality") >= minQuality)
+
+    // exact dedup: min doc id per text hash, then left-semi back (keeps
+    // the narrow (hash → min id) aggregate off the survivor row width)
+    val exactKeep = base
+      .groupBy(md5(col("text")).as("h")).agg(min(col("id")).as("id"))
+      .select("id")
+    val kept = base.join(exactKeep, Seq("id"), "left_semi")
+
+    // near-dup clusters over the exact-deduped survivors: LSH candidate
+    // pairs -> connected components -> keep each cluster's min id. Docs
+    // in no pair never enter CC and survive by default.
+    val pairs = Dedup.minHashLshPairs(kept, n, numHashes, bands,
+      minEstJaccard, idCol = "id", textCol = "text",
+      maxDocFreq = maxDocFreq, portable = portable)
+    val comps = Canonicalizer.connectedComponents(spark,
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val nearDupLosers = comps
+      .filter(col("entity_id") =!= col("canonical"))
+      .select(col("entity_id").as("id"))
+
+    kept.join(nearDupLosers, Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("lang_id"), col("quality"),
+        col("n_tokens"))
+  }
+}

@@ -144,6 +144,40 @@ class DedupSpec extends SparkTestBase {
       "an operator left cached plans in the session cache manager")
   }
 
+  test("curateDocs: survivors pass every filter; near-dup clusters keep min") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Curation.curateDocs(spark, docs, keepLang = "en",
+      minQuality = 0.7, portable = true)
+      .as[(Long, String, Double, Long)].collect()
+    assert(out.nonEmpty && out.length < docs.count())
+    assert(out.forall(_._2 == "en"))
+    assert(out.forall(_._3 >= 0.7))
+    // dropped near-dups: each loser's cluster min survived. Reconstruct
+    // the kept set and pairs exactly as the operator does.
+    val lang = TextAnalysis.langId(spark, docs).select($"id", $"lang_id")
+    val qual = TextAnalysis.qualityScore(docs).select($"id", $"quality")
+    val kept = docs.select($"doc_id".as("id"), $"text")
+      .join(lang, "id").join(qual, "id")
+      .filter($"lang_id" === "en" && $"quality" >= 0.7)
+    val pairs = Dedup.minHashLshPairs(kept, 3, 64, 16, 0.5, idCol = "id",
+        textCol = "text", maxDocFreq = graft.model.Spec.DedupMaxDocFreq,
+        portable = true)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    val canon = Canonicalizer.componentsLocalT(pairs.toSeq)
+    val survivors = out.map(_._1).toSet
+    canon.foreach { case (node, c) =>
+      assert(survivors.contains(node) == (node == c),
+        s"doc $node (canonical $c): wrong survival")
+    }
+    // determinism
+    val again = Curation.curateDocs(spark, docs, keepLang = "en",
+      minQuality = 0.7, portable = true)
+      .as[(Long, String, Double, Long)].collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("portable simhash: identical docs collide, unrelated don't pair") {
     val df = Seq(
       (1L, "spark table scan fast query row value merge"),

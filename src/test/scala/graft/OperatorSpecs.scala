@@ -95,6 +95,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ccLocal(e) === oracle(e))
   }
 
+  test("LONG-id graph: fast path and star path agree on NUMERIC min") {
+    // round-3 regression: the union-find fast path used to cast ids to
+    // string, silently swapping numeric min for lexicographic min on long
+    // ids (canonical of {72, 377} became 377 because "377" < "72") and
+    // disagreeing with the distributed star path
+    val e = Seq((377L, 72L), (98L, 290L), (5L, 1000L), (1000L, 2L))
+    val fast = Canonicalizer.connectedComponents(spark, e.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Canonicalizer.connectedComponents(spark, e.toDF("src", "dst"),
+        smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(377L -> 72L, 72L -> 72L, 98L -> 98L, 290L -> 98L,
+      5L -> 2L, 1000L -> 2L, 2L -> 2L)
+    assert(fast === expect)
+    assert(star === expect)
+  }
+
   test("idempotence: CC of its own output is a fixpoint") {
     val e = Spec.SameAs.map(x => (x.src_entity, x.dst_entity))
     val once = ccLocal(e)
