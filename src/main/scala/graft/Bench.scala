@@ -153,6 +153,15 @@ object Bench {
     }
     results += "dedup_minhash_prod" -> tProd
 
+    // 4c. composite curation flagship, production-hash config (the
+    // verified query surface runs the portable-md5 twin)
+    val (tCurate, _) = timed {
+      graft.operators.Curation.curateDocs(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        keepLang = "en", minQuality = 0.7).count()
+    }
+    results += "curate_docs" -> tCurate
+
     // 5. "no silent caps" observability: what stop-shingle pruning
     // (maxDocFreq) dropped from this corpus — count + doc-occurrence mass,
     // logged AND reported as non-time metrics in the JSON line.
