@@ -70,6 +70,9 @@ object Plans {
     showExecuted("ngram_jaccard") { Dedup.ngramJaccardPairs(documents, 3, 0.8) }
     showExecuted("minhash_lsh") { Dedup.minHashLshPairs(documents, 3, 64, 16, 0.5) }
     showExecuted("simhash_pairs") { Dedup.simHashPairs(documents, 3) }
+    showExecuted("curate_docs") {
+      graft.operators.Curation.curateDocs(spark, documents)
+    }
     spark.stop()
   }
 }
