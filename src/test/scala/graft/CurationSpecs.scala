@@ -178,6 +178,18 @@ class DedupSpec extends SparkTestBase {
       again.map(_.toString).sorted))
   }
 
+  test("curateDocs: impossible filters flow an EMPTY corpus through every stage") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // quality can never exceed 1.0 — exercises empty kept -> empty shingle
+    // table -> empty pair graph -> CC on zero edges -> empty anti-join
+    val out = Curation.curateDocs(spark, docs, keepLang = "en",
+      minQuality = 2.0, portable = true)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang_id", "quality", "n_tokens"))
+  }
+
   test("portable simhash: identical docs collide, unrelated don't pair") {
     val df = Seq(
       (1L, "spark table scan fast query row value merge"),
