@@ -1,10 +1,9 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,24 +29,47 @@ object TripleSink {
 
   def manifestPath(path: String): String = s"$path/_graft_manifest.json"
 
+  /** Filesystem + path resolved through the Hadoop FS API, so the manifest
+    * protocol works on any outPath scheme (HDFS/S3A/local) the cluster is
+    * configured for — a java.nio implementation would silently see "no
+    * manifest" on every non-local path and rewrite completed buckets
+    * (advisor finding, round 3, same defect class as DocStream's state
+    * listings). The Configuration() here picks up core-site.xml from the
+    * classpath, exactly like Spark's own writers. */
+  private def hfs(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
   def readManifest(path: String): Seq[BucketLineage] = {
-    val p = Paths.get(manifestPath(path))
-    if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map { line =>
+    val (f, p) = hfs(manifestPath(path))
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
         // fixed writer format, see appendManifest
         val cols = line.split(",")
         BucketLineage(cols(0).toInt, cols(1).toLong, cols(2).toLong)
       }
+    }
   }
 
+  /** Append semantics implemented as read + full rewrite: the manifest is
+    * bucket-count-sized, and FileSystem.append is unsupported on several
+    * real filesystems (notably the checksummed local FS and object
+    * stores). */
   private def appendManifest(path: String, rows: Seq[BucketLineage]): Unit = {
-    val p = Paths.get(manifestPath(path))
-    Files.createDirectories(p.getParent)
-    val body = rows.map(r => s"${r.bucket},${r.rows},${r.checksum}")
+    val existing = readManifest(path)
+    val (f, p) = hfs(manifestPath(path))
+    val body = (existing ++ rows)
+      .map(r => s"${r.bucket},${r.rows},${r.checksum}")
       .mkString("", "\n", "\n")
-    Files.write(p, body.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val out = f.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Adds the physical subject-hash bucket column (FIXTURES.md §5). */

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -63,7 +64,12 @@ object DocStream {
     * same thing as MERGE INTO on the bucketed table. */
   def run(spark: SparkSession, inPath: String, outPath: String,
       checkpoint: String, maxFilesPerTrigger: Option[Int] = None,
-      sameAsForBatch: Long => Seq[SameAsEdge] = _ => Spec.SameAs)
+      sameAsForBatch: Long => Seq[SameAsEdge] = _ => Spec.SameAs,
+      // test-only failure injection: invoked at named points inside the
+      // micro-batch so specs can kill the query mid-batch and assert the
+      // restart path (checkpoint replay + idempotent state overwrite +
+      // manifest-gated bucket writes) reproduces the exact batch set
+      failpoint: (String, Long) => Unit = (_, _) => ())
       : StreamingQuery =
     readDocStream(spark, inPath, maxFilesPerTrigger).writeStream
       .trigger(Trigger.AvailableNow())
@@ -72,8 +78,9 @@ object DocStream {
         val s = batch.sparkSession
         val comps = advanceComponents(s, outPath, batchId,
           sameAsForBatch(batchId))
+        failpoint("after_state_write", batchId)
         val triples = Pipeline.triplesWithComponents(s, batch, comps)
-        val prior = priorBatchDirs(outPath, batchId)
+        val prior = priorBatchDirs(s, outPath, batchId)
         val novel =
           if (prior.isEmpty) triples
           else triples.join(
@@ -88,6 +95,15 @@ object DocStream {
       .start()
 
   private def statePath(outPath: String): String = s"$outPath/_cc_state"
+
+  /** All directory listings go through the Hadoop FileSystem API (resolved
+    * from the session's Hadoop conf), like the Spark writes themselves —
+    * with java.nio a non-local outPath (HDFS/S3A) would make [[latestState]]
+    * silently return None every batch and each micro-batch's component map
+    * would be built from that batch's edges only, quietly forgetting prior
+    * cross-batch merges (advisor finding, round 3). */
+  private def fsOf(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Incremental CC step: converge (this batch's new edges ∪ the latest
     * prior state map read as edges) and persist the result as this
@@ -114,50 +130,39 @@ object DocStream {
     // (the retry-safety read target for a re-run of THIS batch) and drop
     // everything older — without this, a long-running stream accumulates
     // one map copy per micro-batch forever.
-    pruneStateVersions(outPath, keepNewest = 2)
+    pruneStateVersions(s, outPath, keepNewest = 2)
     s.read.parquet(dir)
   }
 
+  /** State versions on disk: (batchId, path), newest first. */
+  private def stateVersions(s: SparkSession,
+      outPath: String): Seq[(Long, Path)] = {
+    val root = new Path(statePath(outPath))
+    val f = fsOf(s, statePath(outPath))
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("batch_id=")
+        .toLongOption.map(_ -> st.getPath))
+      .sortBy(-_._1)
+  }
+
   /** Delete all but the `keepNewest` highest-numbered state versions. */
-  private def pruneStateVersions(outPath: String, keepNewest: Int): Unit = {
-    val root = java.nio.file.Paths.get(statePath(outPath))
-    if (!java.nio.file.Files.isDirectory(root)) return
-    val listing = java.nio.file.Files.list(root)
-    val versions = try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p))
-        .flatMap(p => p.getFileName.toString.stripPrefix("batch_id=")
-          .toLongOption.map(_ -> p))
-        .toSeq.sortBy(-_._1)
-    } finally listing.close()
-    versions.drop(keepNewest).foreach { case (_, p) =>
-      scala.util.Try {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+  private def pruneStateVersions(s: SparkSession, outPath: String,
+      keepNewest: Int): Unit = {
+    val f = fsOf(s, statePath(outPath))
+    stateVersions(s, outPath).drop(keepNewest).foreach { case (_, p) =>
+      scala.util.Try(f.delete(p, true))
     }
   }
 
   /** Latest persisted component map strictly before `beforeBatch`
     * (Long.MaxValue → the newest of all). */
   private def latestState(s: SparkSession, outPath: String,
-      beforeBatch: Long): Option[DataFrame] = {
-    val root = java.nio.file.Paths.get(statePath(outPath))
-    if (!java.nio.file.Files.isDirectory(root)) return None
-    val listing = java.nio.file.Files.list(root)
-    val latest = try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p))
-        .flatMap(_.getFileName.toString.stripPrefix("batch_id=").toLongOption)
-        .filter(_ < beforeBatch)
-        .maxOption
-    } finally listing.close()
-    latest.map(b =>
-      s.read.parquet(s"${statePath(outPath)}/batch_id=$b"))
-  }
+      beforeBatch: Long): Option[DataFrame] =
+    stateVersions(s, outPath)
+      .map(_._1).filter(_ < beforeBatch).maxOption
+      .map(b => s.read.parquet(s"${statePath(outPath)}/batch_id=$b"))
 
   /** The exact current triple set: the union of all (append-only) batch
     * sub-tables with any STALE canonical-entity URIs re-bound through the
@@ -199,26 +204,22 @@ object DocStream {
     * itself, which a failed-and-retried micro-batch may have partially
     * written — its buckets are finished idempotently by the sink's
     * manifest resume protocol, not double-anti-joined). */
-  private def priorBatchDirs(outPath: String, batchId: Long): Seq[String] = {
-    val root = java.nio.file.Paths.get(outPath)
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => java.nio.file.Files.isDirectory(p))
-          .map(_.getFileName.toString)
-          // safe parse: a stray non-numeric dir under outPath must be
-          // ignored, not crash every subsequent micro-batch
-          .filter(n => n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLongOption.exists(_ != batchId))
-          .map(n => s"$outPath/$n")
-          // all-duplicate batches write zero rows (no parquet footers to
-          // infer a schema from) — skip them via their own manifest
-          .filter(dir => TripleSink.readManifest(dir).map(_.rows).sum > 0)
-          .toSeq.sorted
-      } finally s.close()
-    }
+  private def priorBatchDirs(s: SparkSession, outPath: String,
+      batchId: Long): Seq[String] = {
+    val root = new Path(outPath)
+    val f = fsOf(s, outPath)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      // safe parse: a stray non-numeric dir under outPath must be
+      // ignored, not crash every subsequent micro-batch
+      .filter(n => n.startsWith("batch_id=") &&
+        n.stripPrefix("batch_id=").toLongOption.exists(_ != batchId))
+      .map(n => s"$outPath/$n")
+      // all-duplicate batches write zero rows (no parquet footers to
+      // infer a schema from) — skip them via their own manifest
+      .filter(dir => TripleSink.readManifest(dir).map(_.rows).sum > 0)
+      .sorted
   }
 }
