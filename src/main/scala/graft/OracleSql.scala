@@ -345,12 +345,17 @@ object OracleSql {
     * agree bit-for-bit. */
   /** Shared CTE chain for the portable sign-LSH family: unit-prep, md5
     * hyperplane rebuild, bucket bits, co-bucketed candidate pairs
-    * (`pairPred` picks <> for top-k vs < for dup pairs), cosine verify. */
+    * (`pairPred` picks <> for top-k vs < for dup pairs), cosine verify.
+    * `probe1Bit` mirrors the Spark side's query-side 1-bit multi-probe: a
+    * query probing its bucket plus every single-bit flip is exactly the
+    * pair set with bucket Hamming distance ≤ 1 within a table, which the
+    * oracle states directly as bit_count(xor(...)) <= 1. */
   private def lshCtes(nTables: Int, nPlanes: Int, dim: Int,
-      pairPred: String): Seq[String] = Seq(
-    """v AS (SELECT vec_id AS id,
-      | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      | FROM embeddings)""".stripMargin,
+      pairPred: String, probe1Bit: Boolean = false,
+      source: String = "embeddings"): Seq[String] = Seq(
+    s"""v AS (SELECT vec_id AS id,
+       | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       | FROM $source)""".stripMargin,
     s"n AS (SELECT id, vd, sqrt(${duckDot("vd", "vd")}) AS nrm FROM v)",
     s"""pl AS (
        |  SELECT t, j, list(v ORDER BY i) AS p FROM (
@@ -369,7 +374,10 @@ object OracleSql {
        |  GROUP BY id, t)""".stripMargin,
     s"""cand AS (SELECT DISTINCT x.id AS a, y.id AS b
        | FROM bt x JOIN bt y
-       |   ON x.t = y.t AND x.bucket = y.bucket AND x.id $pairPred y.id)"""
+       |   ON x.t = y.t AND ${
+            if (probe1Bit) "bit_count(xor(x.bucket, y.bucket)) <= 1"
+            else "x.bucket = y.bucket"
+          } AND x.id $pairPred y.id)"""
       .stripMargin,
     s"""cz AS (SELECT c.a, c.b,
        | ${duckDot("x.vd", "y.vd")} / (x.nrm * y.nrm) AS cos
@@ -379,7 +387,8 @@ object OracleSql {
   val embLshTopK: String = {
     val k = 5
     OracleCte.withClause(
-      lshCtes(nTables = 8, nPlanes = 6, dim = 64, pairPred = "<>"): _*) +
+      lshCtes(nTables = 8, nPlanes = 6, dim = 64, pairPred = "<>",
+        probe1Bit = true): _*) +
       s"""SELECT a AS vec_id, b AS neighbor_id, round(cos, 6) AS cos, rk
          | FROM (SELECT a, b, cos, row_number() OVER (PARTITION BY a
          |   ORDER BY cos DESC, b ASC) AS rk FROM cz)
@@ -403,13 +412,31 @@ object OracleSql {
     * survivor set, like the Spark side), and the near-dup connected
     * components via the same recursive-reachability pattern as the
     * cc_components oracle. */
-  val curateDocs: String = {
+  val curateDocs: String = curateSql(semantic = false)
+
+  /** Semantic-dedup variant: exact twin of Curation.curateDocs(...,
+    * embeddings = Some(embeddings), minCos = 0.4, portable = true) — the
+    * lexical chain above plus sign-LSH embedding near-dup edges over the
+    * SAME kept set ([[embLshDupPairs]] machinery restricted to kept ids),
+    * both edge families feeding one recursive CC fixpoint. */
+  val curateDocsSemantic: String = curateSql(semantic = true)
+
+  private def curateSql(semantic: Boolean): String = {
     val numHashes = 64; val bands = 16; val rows = numHashes / bands
     val slots = (0 until numHashes).map(j =>
       s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j")
       .mkString(", ")
     val sigList = (0 until numHashes).map(j => s"h$j").mkString("[", ", ", "]")
-    "WITH RECURSIVE " + Seq(
+    // semantic near-dup edges: the embLshDupPairs chain (portable md5
+    // hyperplanes, exact cosine verify) over embeddings of KEPT docs;
+    // defined between `pr` and `edges2` so edges2 can union both families
+    val semanticCtes: Seq[String] =
+      if (!semantic) Seq.empty
+      else lshCtes(nTables = 8, nPlanes = 6, dim = 64, pairPred = "<",
+        source = "(SELECT vec_id, embedding FROM embeddings " +
+          "JOIN kept ON kept.id = embeddings.vec_id)") :+
+        "spr AS (SELECT a, b FROM cz WHERE round(cos, 6) >= 0.4)"
+    "WITH RECURSIVE " + (Seq(
       profilesCte,
       """ltoks AS (SELECT doc_id AS id,
         |  unnest(string_split(lower(text), ' ')) AS tok FROM documents)"""
@@ -466,8 +493,11 @@ object OracleSql {
          |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est
          |  FROM cand2 c JOIN sig2 sa ON sa.id = c.a
          |  JOIN sig2 sb ON sb.id = c.b)
-         |  WHERE round(est, 6) >= 0.5)""".stripMargin,
-      "edges2 AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr)",
+         |  WHERE round(est, 6) >= 0.5)""".stripMargin) ++
+      semanticCtes ++ Seq(
+      "edges2 AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr" +
+        (if (semantic) " UNION SELECT a, b FROM spr UNION SELECT b, a FROM spr"
+         else "") + ")",
       """reach2(a, b) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges2)
         |  UNION
@@ -476,7 +506,7 @@ object OracleSql {
       """canon2 AS (SELECT a AS id, min(b) AS canonical FROM reach2
         |  GROUP BY a)""".stripMargin,
       "losers AS (SELECT id FROM canon2 WHERE id <> canonical)"
-    ).mkString("", ", ", " ") +
+    )).mkString("", ", ", " ") +
       """SELECT k.id AS doc_id, k.lang_id, k.quality, k.n_tokens
         | FROM kept k LEFT JOIN losers lo ON lo.id = k.id
         | WHERE lo.id IS NULL""".stripMargin.replace("\n", "")

@@ -171,6 +171,15 @@ object SparkEntry {
       Curation.curateDocs(s, s.read.parquet(s"$dir/documents.parquet"),
         keepLang = "en", minQuality = 0.7, portable = true)),
 
+    // semantic-dedup variant: lexical MinHash edges ∪ sign-LSH embedding
+    // near-dup edges (over the same kept set) feed one CC clustering; the
+    // oracle replays BOTH edge families into the same recursive fixpoint
+    "curate_docs_semantic" -> ((s, dir) =>
+      Curation.curateDocs(s, s.read.parquet(s"$dir/documents.parquet"),
+        keepLang = "en", minQuality = 0.7, portable = true,
+        embeddings = Some(s.read.parquet(s"$dir/embeddings.parquet")),
+        minCos = 0.4)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -334,6 +343,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,
       "dedup_simhash" -> OracleSql.simHashPairs,
       "curate_docs" -> OracleSql.curateDocs,
+      "curate_docs_semantic" -> OracleSql.curateDocsSemantic,
       "media_decode" -> OracleSql.mediaDecode,
       "text_stats" -> OracleSql.textStats,
       "text_quality" -> OracleSql.textQuality,
