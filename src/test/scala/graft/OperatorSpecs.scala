@@ -112,6 +112,33 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(star === expect)
   }
 
+  test("partition pre-contraction: contracted ≡ uncontracted ≡ oracle") {
+    // round-4: components that straddle many partitions (each partition
+    // holds an edge-disjoint slice) must survive local contraction — the
+    // per-partition stars bridge through shared nodes
+    val e = (0 until 400).map { i =>
+      val a = (i * 7919) % 131; val b = (i * 104729 + 17) % 131
+      (f"v$a%03d", f"v$b%03d")
+    }.filter(x => x._1 != x._2)
+    val df = e.toDF("src", "dst").repartition(13)
+    val contracted = Canonicalizer.connectedComponents(spark, df,
+        smallGraphThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val plain = Canonicalizer.connectedComponents(spark, df,
+        smallGraphThreshold = 0L, preContract = false)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(contracted === plain)
+    assert(contracted === oracle(e))
+    // long ids across partitions: ordering stays numeric under contraction
+    val le = Seq((377L, 72L), (72L, 9000L), (98L, 290L), (5L, 1000L),
+      (1000L, 2L), (9000L, 377L))
+    val lstar = Canonicalizer.connectedComponents(spark,
+        le.toDF("src", "dst").repartition(4), smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lstar === Map(377L -> 72L, 9000L -> 72L, 72L -> 72L,
+      98L -> 98L, 290L -> 98L, 5L -> 2L, 1000L -> 2L, 2L -> 2L))
+  }
+
   test("idempotence: CC of its own output is a fixpoint") {
     val e = Spec.SameAs.map(x => (x.src_entity, x.dst_entity))
     val once = ccLocal(e)
