@@ -48,6 +48,14 @@ object BenchKgw {
       Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)),
       tmpDir("graft-kgw-warm"))
 
+    // artifact self-defense (see Bench.scala): host load before/after the
+    // timed run + timestamp, so contaminated samples identify themselves
+    def loadavg: String = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")).getOrElse("[]")
+    val loadStart = loadavg
+    val ts = java.time.Instant.now().toString
+
     val t0 = System.nanoTime()
     val rows = TripleSink.writeTriples(spark,
       Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)),
@@ -56,7 +64,8 @@ object BenchKgw {
 
     println(s"""{"metric":"kg_write","cpus":$cpus,"value":$t,""" +
       s""""unit":"sec","triples":$rows,""" +
-      s""""triples_per_sec":${(rows / t).round},"docs":$nDocs}""")
+      s""""triples_per_sec":${(rows / t).round},"docs":$nDocs,""" +
+      s""""ts":"$ts","loadavg_start":$loadStart,"loadavg_end":$loadavg}""")
     spark.stop()
     tmpDirs.foreach { d =>
       scala.util.Try {

@@ -178,6 +178,29 @@ class DedupSpec extends SparkTestBase {
       again.map(_.toString).sorted))
   }
 
+  test("synthesizeFlatDocs: deterministic corpus with plantable curation work") {
+    import graft.sources.InterleavedDocs
+    val d = InterleavedDocs.synthesizeFlatDocs(spark, 4000L).cache()
+    // deterministic across invocations
+    val again = InterleavedDocs.synthesizeFlatDocs(spark, 4000L)
+    assert(d.except(again).isEmpty && again.except(d).isEmpty)
+    // planted EXACT duplicates exist (half of the dup quota)
+    val exact = Dedup.exactByText(d).filter($"n" > 1).count()
+    assert(exact > 20, s"too few exact dup groups: $exact")
+    // planted NEAR duplicates are findable by the production MinHash path
+    val near = Dedup.minHashLshPairs(d, 3, 64, 16, 0.5).count()
+    assert(near > 20, s"too few near-dup pairs: $near")
+    // language-ID resolves 'en' for the overwhelming majority
+    val en = TextAnalysis.langId(spark, d).filter($"lang_id" === "en").count()
+    assert(en > 3800, s"lang-id 'en' count too low: $en")
+    // the quality score splits the corpus at the 0.7 default (both sides
+    // populated — the filter stage does real work)
+    val q = TextAnalysis.qualityScore(d)
+    assert(q.filter($"quality" >= 0.7).count() > 400)
+    assert(q.filter($"quality" < 0.7).count() > 400)
+    d.unpersist()
+  }
+
   test("curateDocs semantic: embedding edges drop docs the lexical pass keeps") {
     import graft.operators.Curation
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
