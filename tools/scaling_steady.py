@@ -37,8 +37,20 @@ def main():
     pair_effs = [(y / x) / factor for x, y in zip(thr_a, thr_b)]
     print(f"  per-pair eff (time-adjacent samples): "
           f"{[round(e, 3) for e in pair_effs]}")
+    # dispersion-aware companions to the median-of-medians headline
+    # (advisor finding, round 3: a pass/fail that flips under an equally
+    # defensible estimator isn't a result) — report the median of per-pair
+    # efficiencies with its spread, plus the best-vs-best ratio (the
+    # machine's steady-state capability with host noise excluded)
+    med_pair = statistics.median(pair_effs)
+    lo_q, hi_q = sorted(pair_effs)[0], sorted(pair_effs)[-1]
+    print(f"  median of per-pair effs = {med_pair:.3f} "
+          f"(range {lo_q:.3f}..{hi_q:.3f}, n={len(pair_effs)})")
+    best = (max(thr_b) / max(thr_a)) / factor
+    print(f"  best-vs-best eff (host noise excluded) = {best:.3f}")
     print(f"  HEADLINE eff({lo}->{hi}) from medians = {eff:.3f} "
-          f"({'>=' if eff >= 0.8 else 'BELOW'} 0.8 bar)")
+          f"({'>=' if eff >= 0.8 else 'BELOW'} 0.8 bar); "
+          f"estimator-agreement: median-of-pairs {med_pair:.3f}")
 
 
 if __name__ == "__main__":
