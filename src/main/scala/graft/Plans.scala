@@ -73,6 +73,13 @@ object Plans {
     showExecuted("curate_docs") {
       graft.operators.Curation.curateDocs(spark, documents)
     }
+    showExecuted("curate_docs_semantic") {
+      graft.operators.Curation.curateDocs(spark, documents,
+        embeddings = Some(emb))
+    }
+    showExecuted("lsh_topk_multiprobe") {
+      Similarity.lshTopK(emb, 5, 64, nPlanes = 6)
+    }
     spark.stop()
   }
 }
