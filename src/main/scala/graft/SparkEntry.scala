@@ -180,6 +180,21 @@ object SparkEntry {
         embeddings = Some(s.read.parquet(s"$dir/embeddings.parquet")),
         minCos = 0.4)),
 
+    // deterministic sampling + packing (training-data pipeline staples;
+    // portable md5 hash configs so DuckDB replays sample membership)
+    "sample_hash" -> ((s, dir) =>
+      Sampling.sampleByHash(s.read.parquet(s"$dir/documents.parquet"),
+          frac = 0.1, portable = true)
+        .select(col("doc_id"), col("lang"))),
+
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(s.read.parquet(s"$dir/documents.parquet"),
+        strataCol = "lang", k = 20, portable = true)),
+
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(s.read.parquet(s"$dir/documents.parquet"),
+        budget = 200L)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -338,6 +353,25 @@ object SparkEntry {
           "CAST(len(regexp_extract_all(text, " +
           "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_rtokens " +
           "FROM documents"),
+
+      "sample_hash" ->
+        ("SELECT doc_id, lang FROM documents WHERE " +
+          "('0x' || substr(md5('smp0:' || doc_id), 1, 15))::BIGINT " +
+          "% 1000000 < 100000"),
+
+      "stratified_sample" ->
+        ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY " +
+          "('0x' || substr(md5('str0:' || doc_id), 1, 15))::BIGINT " +
+          "% 1000000, doc_id) AS rn FROM documents) WHERE rn <= 20"),
+
+      "pack_sequences" ->
+        ("SELECT doc_id, lang, n AS n_tokens, " +
+          "CAST(floor((cum - n) / 200.0) AS BIGINT) AS pack_id FROM (" +
+          "SELECT doc_id, lang, len(string_split(text, ' ')) AS n, " +
+          "sum(len(string_split(text, ' '))) OVER (PARTITION BY lang " +
+          "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "CURRENT ROW) AS cum FROM documents)"),
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + sequence-packing operators for training-data
+  * pipelines (builder prompt: "the operations a large-scale training-data
+  * pipeline would need"). All pure codegen'd expressions — reproducible
+  * across runs and cluster layouts (no rand(), no partition-dependent
+  * state), with exact DuckDB oracle twins in the portable configs.
+  */
+object Sampling {
+
+  /** Seeded per-row hash in [0, 1e6): xxhash64 in production, the
+    * md5-60-bit portable derivation (see [[Dedup.portableHash60]]) when
+    * the DuckDB oracle must replay the sample. */
+  private def slotOf(tag: String, seed: Int, id: Column,
+      portable: Boolean): Column = {
+    val h =
+      if (portable)
+        conv(substring(md5(concat(lit(s"$tag$seed:"), id.cast("string"))),
+          1, 15), 16, 10).cast("long")
+      else xxhash64(lit(tag), lit(seed), id)
+    pmod(h, lit(1000000L))
+  }
+
+  /** Deterministic Bernoulli sample: keeps a row iff its seeded id hash
+    * falls under `frac`. Unlike DataFrame.sample this is a pure FILTER —
+    * reproducible row-for-row across runs, executors, and re-partitions
+    * (sample membership is a function of the id, not of scan order), and
+    * it composes with predicate pushdown like any other filter. */
+  def sampleByHash(docs: DataFrame, frac: Double, seed: Int = 0,
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    require(frac >= 0 && frac <= 1, "frac must be in [0, 1]")
+    docs.filter(
+      slotOf("smp", seed, col(idCol), portable) < (frac * 1000000).toLong)
+  }
+
+  /** Deterministic stratified sample: the `k` rows with the smallest
+    * seeded id hash per stratum (ties broken by id) — "give me k uniform
+    * docs per language/source" with run-to-run stability. One shuffle on
+    * the stratum key; Spark 4 plans the rank filter as WindowGroupLimit,
+    * so each partition keeps only k rows before the exchange. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, k: Int,
+      seed: Int = 0, idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(slotOf("str", seed, col(idCol), portable), col(idCol))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Greedy sequence packing: within each stratum, walk docs in id order
+    * and assign pack_id = floor(tokens-before-this-doc / budget) — the
+    * standard contiguous packing that groups documents into
+    * fixed-token-budget training sequences. A pack may overshoot the
+    * budget by at most one document (the doc that crosses the boundary
+    * belongs to the pack it started in); every pack except its stratum's
+    * last holds ≥ budget tokens counting that closing doc.
+    *
+    * Scale shape: ONE window per stratum (shuffle on the stratum key,
+    * sort by id within) — parallelism is the stratum count, which is the
+    * inherent limit of order-dependent packing. At corpus scale pass a
+    * composite stratum (e.g. source × date-bucket) so packs parallelize;
+    * a global `Window.orderBy` without partitioning would serialize the
+    * corpus through one task and is deliberately not offered. */
+  def packSequences(docs: DataFrame, budget: Long,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(strataCol),
+        size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / budget.toDouble).cast("bigint"))
+      .drop("cum")
+  }
+}

@@ -270,6 +270,74 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+/** Deterministic sampling + sequence packing (builder prompt
+  * "training-data pipeline" surface). */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+  test("sampleByHash: deterministic, frac-accurate, repartition-invariant") {
+    for (portable <- Seq(false, true)) {
+      val a = Sampling.sampleByHash(docs, 0.2, portable = portable)
+        .select($"doc_id").as[Long].collect().toSet
+      val b = Sampling.sampleByHash(docs.repartition(7), 0.2,
+          portable = portable)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(a == b, "sample membership must not depend on layout")
+      val frac = a.size.toDouble / docs.count()
+      assert(math.abs(frac - 0.2) < 0.08, s"portable=$portable frac=$frac")
+      // different seeds give different (but overlapping) samples
+      val c = Sampling.sampleByHash(docs, 0.2, seed = 1,
+          portable = portable)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(c != a)
+    }
+  }
+
+  test("stratifiedSample: exactly min(k, |stratum|) rows per stratum") {
+    val out = Sampling.stratifiedSample(docs, "lang", 20, portable = true)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val got = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(20L, n).toInt, lang)
+    }
+    // deterministic
+    val again = Sampling.stratifiedSample(docs, "lang", 20, portable = true)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("packSequences: contiguous greedy packs within budget semantics") {
+    val budget = 200L
+    val out = Sampling.packSequences(docs, budget)
+      .select($"doc_id", $"lang", $"n_tokens", $"pack_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // pack ids are non-decreasing in doc order and start at 0
+      assert(sorted.head._4 == 0L, lang)
+      sorted.sliding(2).foreach { case Array(x, y) =>
+        assert(y._4 >= x._4, s"$lang: pack ids must be non-decreasing")
+      case _ =>
+      }
+      // the greedy law IS the semantics: a doc's pack is exactly
+      // floor(tokens-before-it / budget) — this single invariant pins
+      // boundary overshoot and giant-doc pack-skipping behavior
+      var cum = 0L
+      sorted.foreach { case (_, _, n, p) =>
+        assert(p == cum / budget, s"$lang: wrong pack at cum=$cum")
+        cum += n
+      }
+    }
+  }
+}
+
 /** Similarity search: brute-force exactness + LSH recall (builder prompt
   * "Similarity search"). */
 class SimilaritySpec extends SparkTestBase {
