@@ -252,6 +252,8 @@ object OracleSql {
       |   / len(string_split(text, ' ')), 6) AS mean_tok_len
       | FROM documents""".stripMargin.replace("\n", "")
 
+  /** quality fix-up is trunc(x*1e6)/1e6, NOT round — see the
+    * TextAnalysis.qualityScore scaladoc (halfway-digit divergence). */
   val textQuality: String =
     """WITH q AS (
       |  SELECT doc_id AS id, len(string_split(text, ' ')) AS n,
@@ -262,9 +264,10 @@ object OracleSql {
       |  FROM documents)
       |SELECT id, n AS n_tokens,
       |  round(CAST(nstop AS DOUBLE) / n, 6) AS stopword_ratio,
-      |  round(least(1.0, n / 50.0) * 0.4
+      |  trunc((least(1.0, n / 50.0) * 0.4
       |    + (1.0 - CAST(nstop AS DOUBLE) / n) * 0.3
-      |    + least(1.0, meanlen / 8.0) * 0.3, 6) AS quality
+      |    + least(1.0, meanlen / 8.0) * 0.3) * 1000000.0) / 1000000.0
+      |    AS quality
       |FROM q""".stripMargin.replace("\n", " ")
 
   /** Karp–Rabin fold; list_prepend(0) because DuckDB list_reduce seeds the
@@ -453,9 +456,10 @@ object OracleSql {
         |  FROM documents d LEFT JOIN lbest b ON d.doc_id = b.id)"""
         .stripMargin,
       """qual AS (SELECT id, n AS n_tokens,
-        |  round(least(1.0, n / 50.0) * 0.4
+        |  trunc((least(1.0, n / 50.0) * 0.4
         |    + (1.0 - CAST(nstop AS DOUBLE) / n) * 0.3
-        |    + least(1.0, meanlen / 8.0) * 0.3, 6) AS quality
+        |    + least(1.0, meanlen / 8.0) * 0.3) * 1000000.0) / 1000000.0
+        |    AS quality
         |  FROM (SELECT doc_id AS id, len(string_split(text, ' ')) AS n,
         |    len(list_filter(string_split(text, ' '),
         |      t -> t IN ('a', 'the', 'and', 'of', 'is'))) AS nstop,

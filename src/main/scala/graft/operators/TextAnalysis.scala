@@ -56,7 +56,16 @@ object TextAnalysis {
   /** Frozen quality score in [0,1]:
     * 0.4·min(1, n_tokens/50) + 0.3·(1 − stopword_ratio)
     * + 0.3·min(1, mean_tok_len/8). Length, lexical density, and word-shape
-    * signals — the standard cheap pretraining-quality trio. */
+    * signals — the standard cheap pretraining-quality trio.
+    *
+    * The 6-digit fix-up is TRUNCATION of the 1e6-scaled value, not
+    * round(): the 0.3·meanlen/8 term has denominator 8·n_tokens (up to
+    * 2⁶·k), whose decimal expansion can terminate EXACTLY on a
+    * 7th-digit 5 — a real halfway case where Spark's BigDecimal HALF_UP
+    * and DuckDB's float rounding disagree in the last digit (found at
+    * sf0.001 doc 145, quality 0.7709375 → 0.770937 vs 0.770938).
+    * Double→long truncation of the same IEEE double is bit-identical in
+    * both engines, so the oracle can never diverge. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = split(col(textCol), " ")
@@ -65,12 +74,14 @@ object TextAnalysis {
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val meanLen = (length(col(textCol)) - (n - 1)).cast("double") / n
     val ratio = nStop.cast("double") / n
+    val qRaw = least(lit(1.0), n / lit(50.0)) * 0.4 +
+      (lit(1.0) - ratio) * 0.3 +
+      least(lit(1.0), meanLen / 8.0) * 0.3
     docs.select(col(idCol).as("id"),
       n.cast("bigint").as("n_tokens"),
       round(ratio, 6).as("stopword_ratio"),
-      round(least(lit(1.0), n / lit(50.0)) * 0.4 +
-        (lit(1.0) - ratio) * 0.3 +
-        least(lit(1.0), meanLen / 8.0) * 0.3, 6).as("quality"))
+      ((qRaw * 1000000.0).cast("long").cast("double") / 1000000.0)
+        .as("quality"))
   }
 
   /** Rolling polynomial (Karp–Rabin) document fingerprint:
