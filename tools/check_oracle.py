@@ -8,6 +8,13 @@ each oracle_sql.json entry, and compares against the Spark parquet dump in
 verifyOutDir/<name>: column names (sorted), row count, and a hash of the
 sorted value matrix. Mirrors what CORRECTNESS_r{N}.json checks so oracle SQL
 bugs are caught before the round gate.
+
+Optional: --exclude-prefix P drops every oracle entry whose name starts
+with P (repeatable). Used by the TRI-SCALE sweep: at sf0.1 the emb_*
+oracles are O(n^2) all-pairs in DuckDB and are excluded (run
+'--exclude-prefix emb_'); everything else is checked at 10x the driver
+gate's scale — this sweep caught a real cross-engine halfway-rounding
+bug in round 4 that the sf0.01-only gate had missed for three rounds.
 """
 import sys, json, glob, os, math
 import duckdb
@@ -31,12 +38,18 @@ def table_sig(rows, cols):
         h.update(b"\x1e")
     return h.hexdigest(), len(mat)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, exclude_prefixes=()):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    skipped = [n for n in oracle
+               if any(n.startswith(p) for p in exclude_prefixes)]
+    for n in skipped:
+        del oracle[n]
+    if skipped:
+        print(f"SKIP ({len(skipped)} excluded): {', '.join(sorted(skipped))}")
     failures = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
@@ -74,4 +87,11 @@ def main(sf_dir, out_dir):
     return 1 if failures else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    pos, excl = [], []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--exclude-prefix":
+            excl.append(next(it))
+        else:
+            pos.append(a)
+    sys.exit(main(pos[0], pos[1], tuple(excl)))
