@@ -101,13 +101,23 @@ object Bench {
     locally {
       val warmN = sys.env.getOrElse("SPARK_GRAFT_WARM_DOCS", "20000").toLong
       val warmOut = tmpDir("graft-bench-warm")
-      // full-size warm-up must run the IDENTICAL plan as the timed run:
-      // .limit() would add a LocalLimit + single-partition GlobalLimit
-      // exchange, warming a differently-shaped, partly serialized plan
-      val base = InterleavedDocs.readDocs(spark, docsPath)
-      val warmDocs = if (warmN >= nDocs) base else base.limit(warmN.toInt)
+      // the warm-up must run the IDENTICAL plan as the timed run: .limit()
+      // would add a LocalLimit + single-partition GlobalLimit exchange,
+      // warming a differently-shaped, partly serialized plan — so a
+      // sub-corpus warm slice is first MATERIALIZED to its own parquet
+      // (the limit lives in this untimed setup write, not in the warmed
+      // plan) and the warm run is the unlimited scan→write over it
+      val warmPath =
+        if (warmN >= nDocs) docsPath
+        else {
+          val p = tmpDir("graft-bench-warmdocs")
+          InterleavedDocs.readDocs(spark, docsPath).limit(warmN.toInt)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
       TripleSink.writeTriples(spark,
-        Pipeline.triples(spark, warmDocs), warmOut)
+        Pipeline.triples(spark, InterleavedDocs.readDocs(spark, warmPath)),
+        warmOut)
     }
     val (tWrite, nTriples) = timed {
       val out = tmpDir("graft-bench-sink")

@@ -2,8 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,11 +33,19 @@ object TripleSink {
     * configured for — a java.nio implementation would silently see "no
     * manifest" on every non-local path and rewrite completed buckets
     * (advisor finding, round 3, same defect class as DocStream's state
-    * listings). The Configuration() here picks up core-site.xml from the
-    * classpath, exactly like Spark's own writers. */
+    * listings). The conf comes from the ACTIVE session's
+    * sparkContext.hadoopConfiguration (advisor finding, round 4): a bare
+    * new Configuration() sees only classpath core-site.xml and ignores
+    * spark.hadoop.* session settings — the standard delivery path for
+    * S3A credentials/endpoints — so manifest I/O could hit a
+    * differently-configured FS than the data writes. */
   private def hfs(path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(new Configuration()), p)
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
 
   def readManifest(path: String): Seq[BucketLineage] = {
@@ -49,27 +56,50 @@ object TripleSink {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        // fixed writer format, see appendManifest
+      // fixed writer format, see appendManifest. A malformed line (torn
+      // write on a filesystem without atomic rename) is flagged and
+      // skipped, not thrown: its bucket simply reads as incomplete and is
+      // rewritten idempotently on resume — throwing here would instead
+      // permanently wedge writeTriples AND every DocStream micro-batch
+      // that lists prior batches (advisor finding, round 4).
+      text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
         val cols = line.split(",")
-        BucketLineage(cols(0).toInt, cols(1).toLong, cols(2).toLong)
+        val parsed =
+          if (cols.length == 3)
+            for {
+              b <- cols(0).toIntOption
+              r <- cols(1).toLongOption
+              c <- cols(2).toLongOption
+            } yield BucketLineage(b, r, c)
+          else None
+        if (parsed.isEmpty)
+          System.err.println(
+            s"[graft] skipping malformed manifest line in $path: '$line'")
+        parsed
       }
     }
   }
 
-  /** Append semantics implemented as read + full rewrite: the manifest is
-    * bucket-count-sized, and FileSystem.append is unsupported on several
-    * real filesystems (notably the checksummed local FS and object
-    * stores). */
+  /** Append semantics implemented as read + rewrite-to-temp + atomic
+    * rename: the manifest is bucket-count-sized, and FileSystem.append is
+    * unsupported on several real filesystems (notably the checksummed
+    * local FS and object stores). The rename (FileContext with OVERWRITE —
+    * atomic on HDFS and the local FS) means a crash mid-write can never
+    * destroy previously durable bucket records: the old manifest stays
+    * intact until the new one is fully written (advisor finding, round 4 —
+    * the previous truncate-then-write could tear it). */
   private def appendManifest(path: String, rows: Seq[BucketLineage]): Unit = {
     val existing = readManifest(path)
     val (f, p) = hfs(manifestPath(path))
     val body = (existing ++ rows)
       .map(r => s"${r.bucket},${r.rows},${r.checksum}")
       .mkString("", "\n", "\n")
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    FileContext.getFileContext(p.toUri, f.getConf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   /** Adds the physical subject-hash bucket column (FIXTURES.md §5). */

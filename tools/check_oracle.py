@@ -91,7 +91,15 @@ if __name__ == "__main__":
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--exclude-prefix":
-            excl.append(next(it))
+            v = next(it, None)
+            if v is None:
+                sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> "
+                         "[--exclude-prefix P]... (missing value for "
+                         "--exclude-prefix)")
+            excl.append(v)
         else:
             pos.append(a)
+    if len(pos) != 2:
+        sys.exit("usage: check_oracle.py <sfDir> <verifyOutDir> "
+                 "[--exclude-prefix P]...")
     sys.exit(main(pos[0], pos[1], tuple(excl)))
