@@ -44,8 +44,14 @@ object BenchCurate {
     def run(): Long =
       Curation.curateDocs(spark, spark.read.parquet(docsPath),
         keepLang = "en", minQuality = 0.7).count()
+    // the product path: decisions + survivor WRITE (bucketed, manifest)
+    // + drop-lineage sidecar — what a deployment actually runs
+    def runWrite(): Long =
+      Curation.writeCurated(spark, spark.read.parquet(docsPath),
+        tmpDir("graft-curate-sink"), keepLang = "en", minQuality = 0.7)
+        .buckets.map(_.rows).sum
 
-    run() // full-size in-JVM warm, untimed
+    run(); runWrite() // full-size in-JVM warm of both paths, untimed
 
     def loadavg: String = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -56,11 +62,16 @@ object BenchCurate {
     val t0 = System.nanoTime()
     val survivors = run()
     val t = (System.nanoTime() - t0) / 1e9
+    val tw0 = System.nanoTime()
+    val written = runWrite()
+    val tw = (System.nanoTime() - tw0) / 1e9
 
     println(s"""{"metric":"curate_docs","cpus":$cpus,"value":$t,""" +
       s""""unit":"sec","docs":$nDocs,"survivors":$survivors,""" +
       s""""docs_per_sec":${(nDocs / t).round},""" +
       s""""survivors_per_sec":${(survivors / t).round},""" +
+      s""""curate_write_sec":$tw,"written":$written,""" +
+      s""""write_docs_per_sec":${(nDocs / tw).round},""" +
       s""""ts":"$ts","loadavg_start":$loadStart,"loadavg_end":$loadavg}""")
     spark.stop()
     tmpDirs.foreach { d =>

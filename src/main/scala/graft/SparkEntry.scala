@@ -173,12 +173,26 @@ object SparkEntry {
 
     // semantic-dedup variant: lexical MinHash edges ∪ sign-LSH embedding
     // near-dup edges (over the same kept set) feed one CC clustering; the
-    // oracle replays BOTH edge families into the same recursive fixpoint
+    // oracle replays BOTH edge families into the same recursive fixpoint.
+    // The semantic LSH runs the IN-REGIME config for the frozen threshold
+    // (Similarity.lshConfigFor — ≥0.9 worst-case curve recall at 0.4)
     "curate_docs_semantic" -> ((s, dir) =>
       Curation.curateDocs(s, s.read.parquet(s"$dir/documents.parquet"),
         keepLang = "en", minQuality = 0.7, portable = true,
         embeddings = Some(s.read.parquet(s"$dir/embeddings.parquet")),
-        minCos = 0.4)),
+        minCos = Spec.CurateSemanticMinCos)),
+
+    // per-doc drop lineage of the semantic curation chain: every doc
+    // labeled with its first failing gate; the oracle replays the whole
+    // chain (both edge families, CC fixpoint) into one CASE — this is the
+    // decision surface writeCurated records in its lineage sidecar
+    "curate_decisions" -> ((s, dir) =>
+      Curation.curationDecisions(s,
+          s.read.parquet(s"$dir/documents.parquet"),
+          keepLang = "en", minQuality = 0.7, portable = true,
+          embeddings = Some(s.read.parquet(s"$dir/embeddings.parquet")),
+          minCos = Spec.CurateSemanticMinCos)
+        .select(col("doc_id"), col("status"))),
 
     // deterministic sampling + packing (training-data pipeline staples;
     // portable md5 hash configs so DuckDB replays sample membership)
@@ -378,6 +392,7 @@ object SparkEntry {
       "dedup_simhash" -> OracleSql.simHashPairs,
       "curate_docs" -> OracleSql.curateDocs,
       "curate_docs_semantic" -> OracleSql.curateDocsSemantic,
+      "curate_decisions" -> OracleSql.curateDecisions,
       "media_decode" -> OracleSql.mediaDecode,
       "text_stats" -> OracleSql.textStats,
       "text_quality" -> OracleSql.textQuality,

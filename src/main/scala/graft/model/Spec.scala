@@ -41,6 +41,13 @@ object Spec {
     * scale this is the knob that bounds the candidate join. */
   val DedupMaxDocFreq = 20L
 
+  /** Semantic-curation near-dup cosine threshold of the verified
+    * curate_docs_semantic query surface — frozen here because the DuckDB
+    * oracle must rebuild the sign-LSH edge family at the identical
+    * operating point (threshold AND the in-regime plane/table config
+    * derived from it via Similarity.lshConfigFor). */
+  val CurateSemanticMinCos = 0.4
+
   // ----- URI minting (FIXTURES.md §4) ------------------------------------
   // ex:doc/<doc_id> ; ex:ent/<hex16(sha256(salt||canonical_entity_id))> ;
   // ex:media/<media_ref>. hex16 = first 16 lowercase hex chars.

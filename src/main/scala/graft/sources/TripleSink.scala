@@ -121,7 +121,22 @@ object TripleSink {
     */
   def writeTriples(spark: SparkSession, triples: DataFrame, path: String,
       buckets: Int = Spec.DefaultSubjectBuckets,
-      onlyBuckets: Option[Set[Int]] = None): Seq[BucketLineage] = {
+      onlyBuckets: Option[Set[Int]] = None): Seq[BucketLineage] =
+    writeBucketed(spark, triples, path, keyCol = "subj",
+      bucketCol = "subj_bucket", contentCols = Seq("subj", "pred", "obj"),
+      buckets = buckets, onlyBuckets = onlyBuckets)
+
+  /** The generic bucketed, manifest-tracked, resumable table write behind
+    * [[writeTriples]] (and the curated-corpus sink,
+    * [[graft.operators.Curation.writeCurated]]): hash-bucket on `keyCol`,
+    * range-repartition + sort within files by `contentCols`, dynamic
+    * partition overwrite, per-bucket (rows, bit_xor checksum) lineage
+    * appended to the manifest. Resume protocol as documented on
+    * [[writeTriples]]. */
+  private[graft] def writeBucketed(spark: SparkSession, df: DataFrame,
+      path: String, keyCol: String, bucketCol: String,
+      contentCols: Seq[String], buckets: Int,
+      onlyBuckets: Option[Set[Int]]): Seq[BucketLineage] = {
     val done = readManifest(path).map(_.bucket).toSet
     val remaining = (0 until buckets).toSet -- done
     val target = onlyBuckets.map(_.intersect(remaining)).getOrElse(remaining)
@@ -130,27 +145,28 @@ object TripleSink {
     // Cache BEFORE repartitionByRange: the range partitioner runs a
     // sampling pass over its child — uncached, that would recompute the
     // entire upstream pipeline a second time.
-    val withBucket = withSubjectBucket(triples, buckets)
-      .filter(col("subj_bucket").isin(target.toSeq: _*))
+    val withBucket = df.withColumn(bucketCol,
+        pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+      .filter(col(bucketCol).isin(target.toSeq: _*))
       .cache()
 
-    // C6: spread the subject space, cluster within files by subject
+    // C6: spread the key space, cluster within files by key
     withBucket
-      .repartitionByRange(col("subj_bucket"), col("subj"))
-      .sortWithinPartitions("subj", "pred", "obj")
+      .repartitionByRange(col(bucketCol), col(keyCol))
+      .sortWithinPartitions(contentCols.map(col): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("subj_bucket")
+      .partitionBy(bucketCol)
       .parquet(path)
 
     val lineage = withBucket
-      .groupBy("subj_bucket")
+      .groupBy(bucketCol)
       // bit_xor: order-independent content checksum that cannot overflow
       // under ANSI mode (a long sum would throw)
       .agg(count(lit(1)).as("rows"),
-        coalesce(expr("bit_xor(xxhash64(subj, pred, obj))"), lit(0L))
-          .as("checksum"))
+        coalesce(expr(s"bit_xor(xxhash64(${contentCols.mkString(", ")}))"),
+          lit(0L)).as("checksum"))
       .collect()
       .map(r => BucketLineage(r.getInt(0), r.getLong(1), r.getLong(2)))
       .toSeq
@@ -161,6 +177,28 @@ object TripleSink {
     val all = (lineage ++ empty).sortBy(_.bucket)
     appendManifest(path, all)
     all
+  }
+
+  /** Atomically (temp + rename) write a small sidecar text file next to a
+    * table — used for the curated sink's drop-lineage JSON. */
+  private[graft] def writeSidecar(path: String, body: String): Unit = {
+    val (f, p) = hfs(path)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, f.getConf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readSidecar(path: String): Option[String] = {
+    val (f, p) = hfs(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
 
   /** Read back a written triple table. */
