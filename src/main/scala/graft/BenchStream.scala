@@ -79,17 +79,37 @@ object BenchStream {
     val (outB, timesBroadcast) = runStream(broadcastDedup = true)
     val (_, timesShuffle) = runStream(broadcastDedup = false)
 
+    // PRIMARY evidence: the dedup step in ISOLATION vs history size. The
+    // e2e per-batch numbers above are dominated by the (constant)
+    // pipeline+write cost and VM noise at this corpus size; what must
+    // stay flat as history grows is the cross-batch dedup itself, so
+    // time exactly that — one synthetic next batch against the first k
+    // of the 10 written batch dirs, both modes, growing k.
+    val nextTriples = Pipeline.triples(spark,
+      sources.InterleavedDocs.synthesize(spark, nDocs / nBatches,
+        seed = 99L, skewPct = 2)).cache()
+    nextTriples.count()
+    val allDirs = DocStream.priorBatchDirs(spark, outB,
+      batchId = Long.MaxValue).sorted
+    def timeDedup(k: Int, bcast: Boolean): Double = {
+      val t0 = System.nanoTime()
+      DocStream.dedupAgainstPrior(spark, nextTriples, outB,
+        allDirs.take(k), bcast).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ks = Seq(2, 4, 6, 8, 10).filter(_ <= allDirs.length)
+    timeDedup(ks.head, bcast = true); timeDedup(ks.head, bcast = false) // warm
+    val curveB = ks.map(k => k -> timeDedup(k, bcast = true))
+    val curveS = ks.map(k => k -> timeDedup(k, bcast = false))
+
     // plan audit: the dedup plan of a hypothetical NEXT batch against the
     // full written history — executed so AQE finalizes join strategies
     locally {
-      val nextDocs = sources.InterleavedDocs.synthesize(spark,
-        nDocs / nBatches, seed = 99L, skewPct = 2)
-      val triples = Pipeline.triples(spark, nextDocs).cache()
-      val novel = DocStream.dedupAgainstPrior(spark, triples, outB,
-        DocStream.priorBatchDirs(spark, outB, batchId = Long.MaxValue))
+      val novel = DocStream.dedupAgainstPrior(spark, nextTriples, outB,
+        allDirs)
       novel.collect()
       val plan = novel.queryExecution.executedPlan.toString
-      triples.unpersist()
+      nextTriples.unpersist()
       val out = java.nio.file.Paths.get("BENCH/PLANS_stream.txt")
       Files.createDirectories(out.getParent)
       Files.writeString(out,
@@ -99,18 +119,24 @@ object BenchStream {
 
     def jseq(xs: Seq[(Long, Double)]) =
       xs.map { case (b, t) => s""""$b":$t""" }.mkString("{", ",", "}")
-    // flatness: last batch vs batch 2 (batch 0/1 carry first-history
-    // special cases); > 1.0 means per-batch cost grows with history
-    def ratio(xs: Seq[(Long, Double)]): Double =
-      if (xs.length < 3) Double.NaN
-      else math.round(xs.last._2 / xs(2)._2 * 1000.0) / 1000.0
+    def jcurve(xs: Seq[(Int, Double)]) =
+      xs.map { case (k, t) =>
+        s""""$k":${math.round(t * 1000.0) / 1000.0}""" }
+        .mkString("{", ",", "}")
+    // growth of the isolated dedup step from smallest to largest history
+    // (≈ slope of the cost curve; ~1.0 = flat)
+    def growth(xs: Seq[(Int, Double)]): Double =
+      if (xs.length < 2) Double.NaN
+      else math.round(xs.last._2 / xs.head._2 * 1000.0) / 1000.0
     val line =
       s"""{"metric":"stream_batches","unit":"sec","docs":$nDocs,""" +
         s""""batches":$nBatches,"cpus":$cpus,""" +
         s""""per_batch_broadcast":${jseq(timesBroadcast)},""" +
         s""""per_batch_shuffle":${jseq(timesShuffle)},""" +
-        s""""flat_ratio_broadcast":${ratio(timesBroadcast)},""" +
-        s""""flat_ratio_shuffle":${ratio(timesShuffle)},""" +
+        s""""dedup_vs_history_broadcast":${jcurve(curveB)},""" +
+        s""""dedup_vs_history_shuffle":${jcurve(curveS)},""" +
+        s""""dedup_growth_broadcast":${growth(curveB)},""" +
+        s""""dedup_growth_shuffle":${growth(curveS)},""" +
         s""""ts":"$ts","loadavg_start":$loadStart,"loadavg_end":$loadavg}"""
     println(line)
     scala.util.Try {

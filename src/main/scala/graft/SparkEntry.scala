@@ -209,6 +209,10 @@ object SparkEntry {
       Sampling.packSequences(s.read.parquet(s"$dir/documents.parquet"),
         budget = 200L)),
 
+    "pack_summary" -> ((s, dir) =>
+      Sampling.packSummary(s.read.parquet(s"$dir/documents.parquet"),
+        budget = 200L)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -245,6 +249,15 @@ object SparkEntry {
     "emb_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 5, nCells = 16, nProbe = 4, portable = true)),
+
+    // the large-nCells IVF path (centroids as a DataFrame end-to-end, no
+    // driver collect, no literal plan) — bit-identical construction, so
+    // it shares emb_ivf_topk's oracle; hash-green here certifies the
+    // at-scale variant against the SAME ground truth
+    "emb_ivf_topk_dist" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 5, nCells = 16, nProbe = 4, portable = true,
+        distributedCentroids = true)),
 
     // near-dup at scale: the LSH-bucketed verify (emb_dup_pairs is the
     // exact brute-force baseline; this is the candidate-generation path
@@ -387,6 +400,18 @@ object SparkEntry {
           "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
           "CURRENT ROW) AS cum FROM documents)"),
 
+      // the same packing CTE rolled up per pack; CAST because DuckDB's
+      // sum(BIGINT) is HUGEINT (hash-canonicalization mismatch otherwise)
+      "pack_summary" ->
+        ("SELECT lang, pack_id, count(*) AS n_docs, " +
+          "CAST(sum(n) AS BIGINT) AS tok_total FROM (" +
+          "SELECT doc_id, lang, n, " +
+          "CAST(floor((cum - n) / 200.0) AS BIGINT) AS pack_id FROM (" +
+          "SELECT doc_id, lang, len(string_split(text, ' ')) AS n, " +
+          "sum(len(string_split(text, ' '))) OVER (PARTITION BY lang " +
+          "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "CURRENT ROW) AS cum FROM documents)) GROUP BY lang, pack_id"),
+
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,
       "dedup_simhash" -> OracleSql.simHashPairs,
@@ -402,6 +427,7 @@ object SparkEntry {
       "emb_dup_pairs" -> OracleSql.embDupPairs,
       "emb_lsh_topk" -> OracleSql.embLshTopK,
       "emb_ivf_topk" -> OracleSql.embIvfTopK,
+      "emb_ivf_topk_dist" -> OracleSql.embIvfTopK,
       "emb_lsh_dup_pairs" -> OracleSql.embLshDupPairs,
 
       "ntriples_export" -> OracleSql.ntriplesExport,

@@ -80,4 +80,22 @@ object Sampling {
         floor((col("cum") - col("n_tokens")) / budget.toDouble).cast("bigint"))
       .drop("cum")
   }
+
+  /** Pack-level roll-up of [[packSequences]] — what a training-loader
+    * consumer actually reads: one row per (stratum, pack_id) with its doc
+    * count and token total. Closure invariant (property-tested): a
+    * non-final pack p is only ever closed because the stratum's running
+    * token total reached its boundary, i.e. cumulative tokens through p
+    * ≥ (p+1)·budget. (The stronger "each pack alone holds ≥ budget" is
+    * NOT guaranteed: a giant document overshoots its pack and may steal
+    * a successor's span — such skipped/short packs inherit the overshoot,
+    * which the cumulative form accounts for.) Same single shuffle on the
+    * stratum key as packSequences — the roll-up agg reuses the window's
+    * partitioning. */
+  def packSummary(docs: DataFrame, budget: Long,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    packSequences(docs, budget, strataCol, idCol, textCol)
+      .groupBy(col(strataCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
 }

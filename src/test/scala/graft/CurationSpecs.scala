@@ -409,6 +409,34 @@ class SamplingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("packSummary: non-final packs close only at their budget boundary; totals conserve") {
+    val budget = 200L
+    val sums = Sampling.packSummary(docs, budget)
+      .select($"lang", $"pack_id", $"n_docs", $"tok_total")
+      .as[(String, Long, Long, Long)].collect()
+    // conservation: roll-up totals equal the corpus token/doc counts
+    assert(sums.map(_._3).sum == docs.count())
+    val tokTotal = Sampling.packSequences(docs, budget)
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens"))
+      .as[Long].head()
+    assert(sums.map(_._4).sum == tokTotal)
+    // closure invariant: a non-final pack p was closed because the
+    // stratum's running token total reached (p+1)*budget — the form that
+    // stays true when a giant doc overshoots and steals a successor's
+    // span (a per-pack ">= budget" would be falsifiable by such docs)
+    sums.groupBy(_._1).foreach { case (lang, packs) =>
+      val ordered = packs.sortBy(_._2)
+      var cum = 0L
+      ordered.zipWithIndex.foreach { case ((_, pid, nd, tok), i) =>
+        cum += tok
+        assert(nd >= 1)
+        if (i < ordered.length - 1)
+          assert(cum >= (pid + 1) * budget,
+            s"$lang pack $pid closed at $cum < ${(pid + 1) * budget}")
+      }
+    }
+  }
 }
 
 /** Similarity search: brute-force exactness + LSH recall (builder prompt
@@ -583,6 +611,26 @@ class SimilaritySpec extends SparkTestBase {
     info(f"near-dup regime recall = $recall%.3f (${exact.size} true pairs)")
     assert(approx.subsetOf(exact))
     assert(recall >= 0.95, f"near-dup recall below design point: $recall%.3f")
+  }
+
+  test("IVF distributed-centroid path is bit-identical to the driver-literal path") {
+    // the large-nCells variant keeps centroids as a DataFrame end-to-end
+    // (no driver collect, no literal plan) but must reproduce the exact
+    // same construction: same seeds, same Lloyd arithmetic (ordered
+    // folds), same argmax tie-breaks, same probe sets — assert full
+    // row-level equality on the driver-gate corpus in both hash configs
+    val emb01 =
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for (portable <- Seq(false, true)) {
+      val a = Similarity.ivfTopK(emb01, k = 5, nCells = 16, nProbe = 4,
+          portable = portable)
+        .collect().map(_.toString).sorted
+      val b = Similarity.ivfTopK(emb01, k = 5, nCells = 16, nProbe = 4,
+          portable = portable, distributedCentroids = true)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b),
+        s"distributed IVF diverged from driver path (portable=$portable)")
+    }
   }
 
   test("IVF is deterministic across runs") {
