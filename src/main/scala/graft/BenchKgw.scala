@@ -53,19 +53,36 @@ object BenchKgw {
     def loadavg: String = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString("[", ",", "]")).getOrElse("[]")
+    // /proc/stat aggregate (steal, busy) ticks: host-side CPU thieving is
+    // invisible to guest loadavg but is accounted as steal whenever this
+    // JVM's runnable threads are denied the CPU — measured across the
+    // timed window, it lets a contaminated sample reject ITSELF under the
+    // pre-registered gate-v2 rule (steal_pct >= 5 ⇒ excluded by
+    // tools/scaling_steady.py; BENCH/BASELINE.md §round-5)
+    def cpuTicks: (Long, Long) = scala.util.Try {
+      val v = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (if (v.length > 7) v(7) else 0L, v(0) + v(1) + v(2) + v(5) + v(6))
+    }.getOrElse((0L, 0L))
     val loadStart = loadavg
     val ts = java.time.Instant.now().toString
 
+    val (steal0, busy0) = cpuTicks
     val t0 = System.nanoTime()
     val rows = TripleSink.writeTriples(spark,
       Pipeline.triples(spark, InterleavedDocs.readDocs(spark, docsPath)),
       tmpDir("graft-kgw-sink")).map(_.rows).sum
     val t = (System.nanoTime() - t0) / 1e9
+    val (steal1, busy1) = cpuTicks
+    val (dSteal, dBusy) = (steal1 - steal0, busy1 - busy0)
+    val stealPct =
+      (10000.0 * dSteal / math.max(1L, dSteal + dBusy)).round / 100.0
 
     println(s"""{"metric":"kg_write","cpus":$cpus,"value":$t,""" +
       s""""unit":"sec","triples":$rows,""" +
       s""""triples_per_sec":${(rows / t).round},"docs":$nDocs,""" +
-      s""""ts":"$ts","loadavg_start":$loadStart,"loadavg_end":$loadavg}""")
+      s""""ts":"$ts","loadavg_start":$loadStart,"loadavg_end":$loadavg,""" +
+      s""""steal_pct":$stealPct,"steal_ticks":$dSteal,"busy_ticks":$dBusy}""")
     spark.stop()
     tmpDirs.foreach { d =>
       scala.util.Try {

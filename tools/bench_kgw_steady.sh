@@ -1,57 +1,68 @@
 #!/usr/bin/env bash
-# FROZEN two-cluster-size scaling protocol (BENCH/BASELINE.md §scaling):
-# paired steady-state kg_write. Each invocation of graft.BenchKgw is one
-# sample: synthesize (untimed) + full-size in-JVM warm (untimed) + ONE
-# timed e2e pipeline+bucketed-write. Samples alternate LO/HI cores so the
-# host VM's slow noise drift (±25% documented in BENCH/ANALYSIS.md)
-# cancels in the efficiency ratio; medians of PAIRS samples per size.
-#
-# Primary pair 4→16 (both sizes leave the 32-core box unsaturated — the
-# honest "add executors" analogue; see BENCH/ANALYSIS.md for why the
-# saturated 8→32 pair is only a lower bound).
+# FROZEN two-cluster-size scaling protocol, gate v2 (BENCH/BASELINE.md
+# §scaling): paired steady-state kg_write. Each invocation of
+# graft.BenchKgw is one sample: synthesize (untimed) + full-size in-JVM
+# warm (untimed) + ONE timed e2e pipeline+bucketed-write. Samples
+# alternate LO/HI cores; medians of accepted samples per size.
 #
 # Do NOT run anything CPU-heavy (including a second sbt) while this runs.
 #
-# PRECONDITION GATE (round-5, pre-registered sample acceptance): before
-# EACH sample the harness waits until the 1-minute loadavg drops below
-# GATE_LOAD (default 2.0, i.e. an otherwise-idle box), up to
-# GATE_TIMEOUT_S; if the gate never opens the sample is recorded as
-# gate_timeout and SKIPPED. This replaces post-hoc estimator adjudication
-# of contaminated samples (the round-4 failure mode: asymmetric host
-# noise that pair-alternation cannot cancel) with up-front rejection —
-# every accepted sample's own JSON line still carries its inline
-# loadavg for self-defense.
+# GATE v2 (round-5, PRE-REGISTERED before the accepting run; evidence in
+# BENCH/ANALYSIS.md): guest loadavg cannot see host-side contention — in
+# the 2026-08-17 16:10 window every sample passed loadavg<2.0 yet ran
+# 30–45% slow, while /proc/stat steal hit 45–97% of non-idle time. So:
+#  (a) loadavg gate (v1) — rejects in-guest load;
+#  (b) canary gate: 16-process 3 s sha256 busy burst (tools/host_canary.py)
+#      must see steal% < CANARY_MAX_STEAL while busy AND aggregate hash
+#      throughput >= CANARY_MIN_MHASH (calibrated 2026-08-17T17:12Z clean
+#      window: 1.09–1.14 mhash, steal 0.2–1.1%, busy 15.9/16 cores; the
+#      floor 0.95 ≈ 86% of the clean median also catches frequency/
+#      priority throttling that steal accounting misses) — rejects
+#      host-side thieving that only manifests under load;
+#  (c) post-hoc pre-registered rule: each sample's OWN JSON line carries
+#      steal_pct measured by BenchKgw across its timed window; samples
+#      with steal_pct >= 5.0 are excluded by tools/scaling_steady.py
+#      (excluded counts printed; a pair with a rejected member drops from
+#      the per-pair estimator).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 PAIRS="${PAIRS:-5}"
 LO="${LO:-4}"; HI="${HI:-16}"
 DOCS="${SPARK_GRAFT_BENCH_DOCS:-1000000}"
 GATE_LOAD="${GATE_LOAD:-2.0}"
-GATE_TIMEOUT_S="${GATE_TIMEOUT_S:-900}"
+GATE_TIMEOUT_S="${GATE_TIMEOUT_S:-3600}"
+CANARY_THREADS="${CANARY_THREADS:-16}"
+CANARY_S="${CANARY_S:-3}"
+CANARY_MAX_STEAL="${CANARY_MAX_STEAL:-3.0}"
+CANARY_MIN_MHASH="${CANARY_MIN_MHASH:-0.95}"
 mkdir -p BENCH
-echo "$(date -u +%FT%TZ) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) steady pairs=$PAIRS lo=$LO hi=$HI docs=$DOCS gate_load=$GATE_LOAD" >> BENCH/preconditions.log
+echo "$(date -u +%FT%TZ) loadavg=$(cut -d' ' -f1-3 /proc/loadavg) steady-v2 pairs=$PAIRS lo=$LO hi=$HI docs=$DOCS gate_load=$GATE_LOAD canary=${CANARY_THREADS}x${CANARY_S}s<${CANARY_MAX_STEAL}%" >> BENCH/preconditions.log
 : > "BENCH/raw_steady_cpus${LO}.jsonl"
 : > "BENCH/raw_steady_cpus${HI}.jsonl"
 # compile once up front so per-invocation sbt runs don't interleave
 # compilation with measurement
 sbt -batch compile >/dev/null 2>&1
 
-# wait_gate: block until 1-min loadavg < GATE_LOAD or timeout.
-# Returns 0 (gate open, waited seconds logged) or 1 (timeout).
+# wait_gate: block until (1-min loadavg < GATE_LOAD) AND the canary sees
+# steal% < CANARY_MAX_STEAL under a full-width busy burst, or timeout.
 wait_gate() {
   local waited=0
   while :; do
     local la
     la=$(cut -d' ' -f1 /proc/loadavg)
     if awk -v l="$la" -v g="$GATE_LOAD" 'BEGIN{exit !(l<g)}'; then
-      echo "$(date -u +%FT%TZ) gate OPEN la=$la waited=${waited}s" >> BENCH/preconditions.log
-      return 0
+      local cj
+      if cj=$(python3 tools/host_canary.py "$CANARY_THREADS" "$CANARY_S" "$CANARY_MAX_STEAL" "$CANARY_MIN_MHASH"); then
+        echo "$(date -u +%FT%TZ) gate OPEN la=$la waited=${waited}s canary=$cj" >> BENCH/preconditions.log
+        return 0
+      fi
+      echo "$(date -u +%FT%TZ) gate canary-REJECT la=$la waited=${waited}s canary=$cj" >> BENCH/preconditions.log
     fi
     if [ "$waited" -ge "$GATE_TIMEOUT_S" ]; then
       echo "$(date -u +%FT%TZ) gate TIMEOUT la=$la after ${waited}s" >> BENCH/preconditions.log
       return 1
     fi
-    sleep 15; waited=$((waited + 15))
+    sleep 30; waited=$((waited + 30))
   done
 }
 

@@ -2,10 +2,20 @@
 """Aggregate the paired steady-state kg_write scaling samples
 (BENCH/raw_steady_cpus{N}.jsonl, written by tools/bench_kgw_steady.sh)
 into the headline N->4N efficiency: medians per size, per-pair ratios,
-spread, and the efficiency from median throughputs."""
+spread, and the efficiency from median throughputs.
+
+Gate v2 (round 5, PRE-REGISTERED — see the harness header and
+BENCH/BASELINE.md): samples whose own JSON line carries
+steal_pct >= STEAL_MAX (default 5.0) were contaminated by host-side CPU
+thieving during their timed window and are EXCLUDED before any
+aggregation; excluded counts are printed. Samples without the field
+(pre-v2 raws) are kept. Per-pair efficiencies use index pairing and drop
+any pair with a rejected member."""
 import json
 import statistics
 import sys
+
+STEAL_MAX = 5.0
 
 
 def load(cpus):
@@ -18,10 +28,24 @@ def load(cpus):
     return rows
 
 
+def accepted(r):
+    return r.get("steal_pct") is None or r["steal_pct"] < STEAL_MAX
+
+
 def main():
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    a, b = load(lo), load(hi)
+    a_all, b_all = load(lo), load(hi)
+    a = [r for r in a_all if accepted(r)]
+    b = [r for r in b_all if accepted(r)]
+    n_rej_a, n_rej_b = len(a_all) - len(a), len(b_all) - len(b)
+    if n_rej_a or n_rej_b:
+        print(f"  gate-v2 steal exclusion (steal_pct >= {STEAL_MAX}): "
+              f"dropped {n_rej_a}/{len(a_all)} local[{lo}] and "
+              f"{n_rej_b}/{len(b_all)} local[{hi}] samples")
+    if not a or not b:
+        print("  no accepted samples on one side — nothing to aggregate")
+        return
     ta = [r["value"] for r in a]
     tb = [r["value"] for r in b]
     thr_a = [r["triples_per_sec"] for r in a]
@@ -29,23 +53,29 @@ def main():
     factor = hi / lo
     med_a, med_b = statistics.median(thr_a), statistics.median(thr_b)
     eff = (med_b / med_a) / factor
-    print(f"paired steady-state kg_write scaling, local[{lo}] -> local[{hi}]")
+    print(f"paired steady-state kg_write scaling, local[{lo}] -> local[{hi}]"
+          f" (accepted n={len(a)}/{len(b)})")
     print(f"  local[{lo}]:  times {sorted(round(t,1) for t in ta)} s, "
           f"throughput {sorted(thr_a)} t/s, median {med_a:.0f} t/s")
     print(f"  local[{hi}]: times {sorted(round(t,1) for t in tb)} s, "
           f"throughput {sorted(thr_b)} t/s, median {med_b:.0f} t/s")
-    pair_effs = [(y / x) / factor for x, y in zip(thr_a, thr_b)]
-    print(f"  per-pair eff (time-adjacent samples): "
-          f"{[round(e, 3) for e in pair_effs]}")
-    # dispersion-aware companions to the median-of-medians headline
-    # (advisor finding, round 3: a pass/fail that flips under an equally
-    # defensible estimator isn't a result) — report the median of per-pair
-    # efficiencies with its spread, plus the best-vs-best ratio (the
-    # machine's steady-state capability with host noise excluded)
-    med_pair = statistics.median(pair_effs)
-    lo_q, hi_q = sorted(pair_effs)[0], sorted(pair_effs)[-1]
-    print(f"  median of per-pair effs = {med_pair:.3f} "
-          f"(range {lo_q:.3f}..{hi_q:.3f}, n={len(pair_effs)})")
+    # per-pair efficiencies over index pairs where BOTH members accepted
+    pair_effs = [(y["triples_per_sec"] / x["triples_per_sec"]) / factor
+                 for x, y in zip(a_all, b_all)
+                 if accepted(x) and accepted(y)]
+    if pair_effs:
+        print(f"  per-pair eff (time-adjacent samples, both accepted): "
+              f"{[round(e, 3) for e in pair_effs]}")
+        # dispersion-aware companions to the median-of-medians headline
+        # (advisor finding, round 3: a pass/fail that flips under an
+        # equally defensible estimator isn't a result)
+        med_pair = statistics.median(pair_effs)
+        lo_q, hi_q = sorted(pair_effs)[0], sorted(pair_effs)[-1]
+        print(f"  median of per-pair effs = {med_pair:.3f} "
+              f"(range {lo_q:.3f}..{hi_q:.3f}, n={len(pair_effs)})")
+    else:
+        med_pair = float("nan")
+        print("  no index pair has both members accepted")
     best = (max(thr_b) / max(thr_a)) / factor
     print(f"  best-vs-best eff (host noise excluded) = {best:.3f}")
     print(f"  HEADLINE eff({lo}->{hi}) from medians = {eff:.3f} "
