@@ -664,4 +664,58 @@ object OracleSql {
         |      ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
         | END || ' .' AS line
         | FROM (""".stripMargin.replace("\n", "") + triplesBody + ")"
+
+  /** Bigram CTE for the repetition family: n-gram window i..i+n-1 via
+    * list_slice, same construction as the shingles CTE (n there = 3).
+    * Fractions use the 1e6 truncation fix-up shared with the Spark side
+    * (round() halfway semantics diverge between the engines). */
+  val textRepetition: String =
+    """WITH g AS (
+      |  SELECT doc_id AS id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS ngram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 2
+      |), c AS (SELECT id, ngram, count(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+      |  count(*) AS n_distinct,
+      |  trunc((1.0 - CAST(count(*) AS DOUBLE) / sum(cnt)) * 1000000.0)
+      |    / 1000000.0 AS dup_frac,
+      |  trunc((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1000000.0)
+      |    / 1000000.0 AS top_frac
+      |FROM c GROUP BY id""".stripMargin.replace("\n", " ")
+
+  /** Decontamination twins ([[graft.operators.Decontam]]): corpus = docs
+    * with doc_id % 97 <> 0, benchmark = the rest; trigram shingles; a hit
+    * is a distinct shared shingle. */
+  private val decontamCtes: Seq[String] = Seq(
+    """dsh AS (
+      |  SELECT doc_id AS id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id % 97 <> 0)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin.replace("\n", " "),
+    """bsh AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE len(w) >= 3
+      |)""".stripMargin.replace("\n", " "),
+    """hits AS (
+      |  SELECT id, count(DISTINCT dsh.shingle) AS n_hits
+      |  FROM dsh JOIN bsh USING (shingle) GROUP BY id
+      |)""".stripMargin.replace("\n", " "))
+
+  val decontamHits: String =
+    OracleCte.withClause(decontamCtes: _*) + "SELECT id, n_hits FROM hits"
+
+  val decontamKeep: String =
+    OracleCte.withClause(decontamCtes: _*) +
+      """SELECT doc_id, lang FROM documents
+        | WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT id FROM hits)"""
+        .stripMargin.replace("\n", "")
 }

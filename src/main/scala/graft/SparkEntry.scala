@@ -213,6 +213,36 @@ object SparkEntry {
       Sampling.packSummary(s.read.parquet(s"$dir/documents.parquet"),
         budget = 200L)),
 
+    // source-mixing rebalance: per-stratum Bernoulli rates as a pure
+    // hash filter (portable config so DuckDB replays membership)
+    "rebalance_sources" -> ((s, dir) =>
+      Sampling.sampleByHashStratified(
+          s.read.parquet(s"$dir/documents.parquet"),
+          rates = Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.25),
+          defaultRate = 0.75, portable = true)
+        .select(col("doc_id"), col("lang"))),
+
+    // Gopher-style repetition signals (duplicate-bigram fraction + modal
+    // bigram mass)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
+    // benchmark decontamination over a deterministic corpus split: docs
+    // with doc_id % 97 == 0 act as the benchmark set, the rest as corpus
+    "decontam_hits" -> ((s, dir) => {
+      val all = s.read.parquet(s"$dir/documents.parquet")
+      Decontam.contaminationHits(all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0))
+    }),
+
+    "decontam_keep" -> ((s, dir) => {
+      val all = s.read.parquet(s"$dir/documents.parquet")
+      Decontam.decontaminate(all.filter(col("doc_id") % 97 =!= 0),
+          all.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -411,6 +441,16 @@ object SparkEntry {
           "sum(len(string_split(text, ' '))) OVER (PARTITION BY lang " +
           "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
           "CURRENT ROW) AS cum FROM documents)) GROUP BY lang, pack_id"),
+
+      "rebalance_sources" ->
+        ("SELECT doc_id, lang FROM documents WHERE " +
+          "('0x' || substr(md5('smx0:' || doc_id), 1, 15))::BIGINT " +
+          "% 1000000 < CASE lang WHEN 'en' THEN 900000 " +
+          "WHEN 'fr' THEN 500000 WHEN 'de' THEN 250000 ELSE 750000 END"),
+
+      "text_repetition" -> OracleSql.textRepetition,
+      "decontam_hits" -> OracleSql.decontamHits,
+      "decontam_keep" -> OracleSql.decontamKeep,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,

@@ -98,4 +98,31 @@ object Sampling {
     packSequences(docs, budget, strataCol, idCol, textCol)
       .groupBy(col(strataCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
+
+  /** Deterministic source-mixing sampler (the data-mixing/rebalancing step
+    * of a training pipeline: "keep all of en, half of fr, a quarter of
+    * de"): per-stratum Bernoulli rates applied as a pure filter on the
+    * seeded id hash, with [[sampleByHash]]'s reproducibility — membership
+    * is a function of (id, stratum) only, stable across runs, executors
+    * and layouts. Strata absent from `rates` use `defaultRate`. The rate
+    * table rides the plan as a map literal (no join); the filter pushes
+    * toward the scan like any other predicate. Monotonic: raising a
+    * stratum's rate only ever ADDS rows (hash thresholding), so rate
+    * sweeps nest — useful for mixture ablations off one corpus. */
+  def sampleByHashStratified(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, strataCol: String = "lang", seed: Int = 0,
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rateCol =
+      if (rates.isEmpty) lit((defaultRate * 1000000).toLong)
+      else coalesce(
+        // try_element_at: ANSI element_at throws on missing map keys
+        try_element_at(
+          map(rates.toSeq.sorted.flatMap { case (k, v) =>
+            Seq(lit(k), lit((v * 1000000).toLong)) }: _*),
+          col(strataCol)),
+        lit((defaultRate * 1000000).toLong))
+    docs.filter(slotOf("smx", seed, col(idCol), portable) < rateCol)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,5 +114,40 @@ object TextAnalysis {
         when(col("text").rlike("[一-鿿]"), lit("zh"))
           .otherwise(coalesce(col("lang"), lit("und"))).as("lang_id"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Repetition signals per document (the Gopher/RefinedWeb repetition
+    * filter family): duplicate word-n-gram fraction and modal-n-gram mass.
+    * High values flag boilerplate/spam/degenerate docs that the
+    * length+stopword quality trio misses. Docs with < n tokens produce no
+    * n-grams and are filtered (same guard as [[Dedup.shingles]]; the
+    * oracle applies the same).
+    *
+    * Scale shape: narrow generate → two hash aggregations, keyed on
+    * (id, ngram) then (id); partial (map-side) aggregation means the one
+    * shuffle carries a row per distinct (doc, n-gram) — no joins, no
+    * windows, no per-doc quadratic lambdas. Fractions use the 1e6
+    * truncation fix-up, not round() (see [[qualityScore]]: round()
+    * halfway semantics diverge between Spark and DuckDB). */
+  def repetitionStats(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    def trunc6(c: Column): Column =
+      (c * 1000000.0).cast("long").cast("double") / 1000000.0
+    docs
+      .filter(size(w) >= n)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+          .as("ngram"))
+      .groupBy("id", "ngram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(col("id"), col("n_ngrams"), col("n_distinct"),
+        trunc6(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .as("dup_frac"),
+        trunc6(col("top_cnt").cast("double") / col("n_ngrams")).as("top_frac"))
   }
 }

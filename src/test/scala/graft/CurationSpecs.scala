@@ -437,6 +437,103 @@ class SamplingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("sampleByHashStratified: boundary rates, monotone nesting, layout-invariant") {
+    val langs = docs.select($"lang").distinct().as[String].collect().toSet
+    val someLang = langs.min
+    // rate 0 drops the stratum entirely; rate 1 keeps it whole
+    val zeroOne = Sampling.sampleByHashStratified(docs,
+        rates = Map(someLang -> 0.0), defaultRate = 1.0, portable = true)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(!zeroOne.exists(_._2 == someLang))
+    assert(zeroOne.length ==
+      docs.filter($"lang" =!= someLang).count().toInt)
+    // monotone nesting: raising any stratum's rate only adds rows
+    def ids(r: Map[String, Double], d: Double) =
+      Sampling.sampleByHashStratified(docs, r, d, portable = true)
+        .select($"doc_id").as[Long].collect().toSet
+    val lo = ids(Map("en" -> 0.3, "fr" -> 0.2), 0.1)
+    val hi = ids(Map("en" -> 0.6, "fr" -> 0.2), 0.5)
+    assert(lo.subsetOf(hi), "rate sweeps must nest")
+    // membership is layout-invariant
+    val a = ids(Map("en" -> 0.4), 0.25)
+    val b = Sampling.sampleByHashStratified(docs.repartition(7),
+        Map("en" -> 0.4), 0.25, portable = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
+
+/** Benchmark decontamination + repetition signals (builder prompt
+  * "training-data pipeline" surface, round 5). */
+class DecontamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fixture = Seq(
+    // benchmark doc (id % 97 semantics don't apply here — explicit split)
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    // corpus doc sharing the trigram "quick brown fox"
+    (10L, "a quick brown fox appeared in the field today"),
+    // corpus doc with fully disjoint vocabulary
+    (11L, "completely unrelated words fill this entire document body"),
+    // corpus doc sharing TWO distinct benchmark trigrams
+    (12L, "the quick brown fox jumps again and again it jumps"))
+    .toDF("doc_id", "text")
+
+  private lazy val corpus = fixture.filter($"doc_id" >= 10L)
+  private lazy val bench = fixture.filter($"doc_id" < 10L)
+
+  test("contaminationHits: planted shared trigrams detected, clean doc absent") {
+    val hits = Decontam.contaminationHits(corpus, bench)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(10L) && hits(10L) >= 1L)
+    assert(hits.contains(12L) && hits(12L) > hits(10L),
+      "doc 12 shares more distinct benchmark trigrams than doc 10")
+    assert(!hits.contains(11L), "disjoint-vocab doc must be clean")
+  }
+
+  test("decontaminate == corpus minus contaminated ids; hashKey equivalent") {
+    val hitIds = Decontam.contaminationHits(corpus, bench)
+      .select($"id").as[Long].collect().toSet
+    val kept = Decontam.decontaminate(corpus, bench)
+      .select($"doc_id").as[Long].collect().toSet
+    val all = corpus.select($"doc_id").as[Long].collect().toSet
+    assert(kept == all -- hitIds)
+    val keptHashed = Decontam.decontaminate(corpus, bench, hashKey = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptHashed == kept, "xxhash64-keyed join must agree")
+    val hitsHashed = Decontam.contaminationHits(corpus, bench,
+        hashKey = true).as[(Long, Long)].collect().toMap
+    assert(hitsHashed == Decontam.contaminationHits(corpus, bench)
+      .as[(Long, Long)].collect().toMap)
+  }
+
+  test("repetitionStats: hand oracle, bounds, short-doc filter") {
+    val df = Seq(
+      (1L, "a a a a"),          // 3 bigrams, all "a a"
+      (2L, "x y z"),            // 2 distinct bigrams
+      (3L, "one"))              // < n tokens: filtered
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(3L))
+    val (_, n1, d1, dup1, top1) = out(1L)
+    assert(n1 == 3L && d1 == 1L)
+    assert(math.abs(dup1 - 0.666666) < 1e-9) // trunc6(2/3)
+    assert(top1 == 1.0)
+    val (_, n2, d2, dup2, top2) = out(2L)
+    assert(n2 == 2L && d2 == 2L && dup2 == 0.0 && top2 == 0.5)
+    // bounds on a real corpus slice
+    val real = TextAnalysis.repetitionStats(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    real.foreach { case (id, n, d, dup, top) =>
+      assert(n >= d && d >= 1, id)
+      assert(dup >= 0.0 && dup < 1.0, id)
+      assert(top > 0.0 && top <= 1.0, id)
+    }
+  }
 }
 
 /** Similarity search: brute-force exactness + LSH recall (builder prompt
