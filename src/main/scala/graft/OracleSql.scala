@@ -1,6 +1,7 @@
 package graft
 
 import graft.model.{OracleCte, Spec}
+import graft.operators.Redaction
 
 /** DuckDB oracle SQL for the non-trivial pipeline stages.
   *
@@ -718,4 +719,46 @@ object OracleSql {
       """SELECT doc_id, lang FROM documents
         | WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT id FROM hits)"""
         .stripMargin.replace("\n", "")
+
+  /** Planted-PII fixture twin of SparkEntry.plantedPii: the synthetic
+    * corpus carries no PII, so both engines append the identical
+    * deterministic email + IPv4 + phone suffix to every 10th doc. */
+  private val plantedDocsCte: String =
+    """pdocs AS (
+      |  SELECT doc_id, lang,
+      |    text || CASE WHEN doc_id % 10 = 0 THEN
+      |      ' contact u' || doc_id || '@example.com or 10.0.0.' ||
+      |      (doc_id % 256) || ' or 555-101-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin.replace("\n", " ")
+
+  /** Redaction twins ([[graft.operators.Redaction]]): the same pattern
+    * strings (Java-regex ∩ RE2 subset), same order, with DuckDB's 'g'
+    * flag matching Spark's replace-all default. */
+  val piiRedact: String =
+    OracleCte.withClause(plantedDocsCte) +
+      "SELECT doc_id AS id, regexp_replace(regexp_replace(regexp_replace(" +
+      s"text, '${Redaction.EmailRe}', '[EMAIL]', 'g'), " +
+      s"'${Redaction.Ipv4Re}', '[IP]', 'g'), " +
+      s"'${Redaction.PhoneRe}', '[PHONE]', 'g') AS text_redacted FROM pdocs"
+
+  val piiCounts: String =
+    OracleCte.withClause(plantedDocsCte) +
+      "SELECT doc_id AS id, " +
+      s"CAST(len(regexp_extract_all(text, '${Redaction.EmailRe}')) AS BIGINT) AS n_email, " +
+      s"CAST(len(regexp_extract_all(text, '${Redaction.Ipv4Re}')) AS BIGINT) AS n_ip, " +
+      s"CAST(len(regexp_extract_all(text, '${Redaction.PhoneRe}')) AS BIGINT) AS n_phone " +
+      "FROM pdocs"
+
+  /** Corpus report twin ([[graft.operators.TextAnalysis.corpusStats]]):
+    * mean via exact BIGINT floor division (Spark `div` == DuckDB `//`),
+    * never averaged doubles. */
+  val corpusStats: String =
+    "SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+      "CAST((CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1000000) " +
+      "// count(*) AS DOUBLE) / 1000000.0 AS mean_tokens " +
+      "FROM documents GROUP BY lang"
 }

@@ -42,6 +42,21 @@ object SparkEntry {
     GazetteerMatcher.candidates(s,
       SpanOps.textSpans(SpanOps.explodeSpans(docs(s, dir))), Spec.Gazetteer)
 
+  /** Test fixture for the PII queries: the synthetic corpus carries no
+    * PII, so both engines plant a deterministic email + IPv4 + phone
+    * suffix on every 10th doc (the oracle appends the identical string
+    * via the same arithmetic — see [[OracleSql.PlantedDocsCte]]). */
+  private def plantedPii(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0.0."),
+            (col("doc_id") % 256).cast("string"), lit(" or 555-101-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1: posexplode keeping position (span order is load-bearing)
     "explode_spans" -> ((s, dir) => exploded(s, dir)),
@@ -221,6 +236,18 @@ object SparkEntry {
           rates = Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.25),
           defaultRate = 0.75, portable = true)
         .select(col("doc_id"), col("lang"))),
+
+    // PII redaction + audit counts over the planted-PII fixture (the
+    // synthetic corpus has no natural PII; the plant fires on 1/10 docs
+    // so the replace provably rewrites, and the other 9/10 prove
+    // identity)
+    "pii_redact" -> ((s, dir) => Redaction.redact(plantedPii(s, dir))),
+
+    "pii_counts" -> ((s, dir) => Redaction.piiCounts(plantedPii(s, dir))),
+
+    // per-language corpus report (docs, token mass, exact-long mean)
+    "corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(s.read.parquet(s"$dir/documents.parquet"))),
 
     // Gopher-style repetition signals (duplicate-bigram fraction + modal
     // bigram mass)
@@ -448,6 +475,9 @@ object SparkEntry {
           "% 1000000 < CASE lang WHEN 'en' THEN 900000 " +
           "WHEN 'fr' THEN 500000 WHEN 'de' THEN 250000 ELSE 750000 END"),
 
+      "pii_redact" -> OracleSql.piiRedact,
+      "pii_counts" -> OracleSql.piiCounts,
+      "corpus_stats" -> OracleSql.corpusStats,
       "text_repetition" -> OracleSql.textRepetition,
       "decontam_hits" -> OracleSql.decontamHits,
       "decontam_keep" -> OracleSql.decontamKeep,

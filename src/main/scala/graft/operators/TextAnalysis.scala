@@ -150,4 +150,27 @@ object TextAnalysis {
           .as("dup_frac"),
         trunc6(col("top_cnt").cast("double") / col("n_ngrams")).as("top_frac"))
   }
+
+  /** One-row-per-stratum corpus report (the dashboard/report query a
+    * curation run ends with): doc count, token mass, mean tokens/doc —
+    * a single hash aggregation with map-side partial combine, so at
+    * 100 TB the shuffle carries one row per (partition, stratum).
+    *
+    * The mean is computed in exact LONG arithmetic — `n_tokens * 1e6
+    * div n_docs` (SQL integer floor division) — because averaging
+    * doubles is order-dependent and round() halfway semantics diverge
+    * between Spark and DuckDB (see [[qualityScore]]); DuckDB replays it
+    * as `(n_tokens*1000000)//n_docs`, bit-identical. Overflow bound:
+    * n_tokens·1e6 < 2^63 holds to ~9.2e12 tokens per stratum; past that
+    * (plausible at 100 TB) swap the scaled product to DECIMAL(38,0). */
+  def corpusStats(docs: DataFrame, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val toks = size(split(col(textCol), " ")).cast("bigint")
+    docs
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        (expr("n_tokens * 1000000 div n_docs").cast("double") / 1000000.0)
+          .as("mean_tokens"))
+  }
 }

@@ -536,6 +536,64 @@ class DecontamSpec extends SparkTestBase {
   }
 }
 
+/** PII redaction + corpus report (builder prompt "training-data
+  * pipeline" surface, round 5 third wave). */
+class RedactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("redact: all three categories rewritten, originals gone") {
+    val out = Redaction.redact(
+        Seq((1L, "mail a@b.co or 1.2.3.4 or 555-123-4567 today"))
+          .toDF("doc_id", "text"))
+      .as[(Long, String)].collect().head._2
+    assert(out == "mail [EMAIL] or [IP] or [PHONE] today")
+  }
+
+  test("redact order law: IP-shaped email is ONE email, not a torn IP") {
+    val out = Redaction.redact(
+        Seq((1L, "ping 1.2.3.4@mail.example.com now"))
+          .toDF("doc_id", "text"))
+      .as[(Long, String)].collect().head._2
+    assert(out == "ping [EMAIL] now", out)
+  }
+
+  test("redact is identity on clean text; piiCounts zero there") {
+    val clean = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, clean)).toDF("doc_id", "text")
+    assert(Redaction.redact(df).as[(Long, String)].collect().head._2 == clean)
+    assert(Redaction.piiCounts(df).as[(Long, Long, Long, Long)]
+      .collect().head == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("piiCounts: planted fixture counted per category") {
+    val df = Seq(
+      (1L, "a@b.co and c@d.org plus 10.0.0.1"),
+      (2L, "call 555-101-0040 or 555-101-0050 or 555-101-0060"))
+      .toDF("doc_id", "text")
+    val m = Redaction.piiCounts(df).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 2L, 1L, 0L)))
+    assert(m(2L) == ((2L, 0L, 0L, 3L)))
+  }
+
+  test("corpusStats: totals match recompute; mean is exact floor-div") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.corpusStats(docs)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val expected = docs
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) => l -> ((rows.size.toLong,
+        rows.map(_._2).sum)) }
+    out.foreach { case (lang, nDocs, nTokens, mean) =>
+      val (eDocs, eTokens) = expected(lang)
+      assert(nDocs == eDocs && nTokens == eTokens, lang)
+      assert(mean == (nTokens * 1000000L / nDocs).toDouble / 1e6, lang)
+    }
+  }
+}
+
 /** Similarity search: brute-force exactness + LSH recall (builder prompt
   * "Similarity search"). */
 class SimilaritySpec extends SparkTestBase {
