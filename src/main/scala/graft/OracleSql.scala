@@ -761,4 +761,82 @@ object OracleSql {
       "CAST((CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1000000) " +
       "// count(*) AS DOUBLE) / 1000000.0 AS mean_tokens " +
       "FROM documents GROUP BY lang"
+
+  /** Boilerplate-planted fixture twin of SparkEntry.plantedBoiler. */
+  private val boilerDocsCte: String =
+    """bdocs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+      |    'subscribe to our newsletter and accept all cookies to continue '
+      |      || text
+      |    ELSE text END AS text
+      |  FROM documents
+      |)""".stripMargin.replace("\n", " ")
+
+  /** Chunk-dedup twin ([[graft.operators.Dedup.chunkDedup]], k = 5). The
+    * oracle ranks occurrences with a window — the same total order as
+    * Spark's min(struct(doc_id, pos)) agg; a window is fine in DuckDB at
+    * sf0.01 while the Spark side keeps the agg-only shape. DuckDB list
+    * slices are 1-based inclusive (t[a : b]); Spark's slice(w, start, len)
+    * clips at the end — verified equivalent on 7-token docs (chunks
+    * 't1..t5', 't6 t7' on both engines). */
+  val chunkDedup: String =
+    OracleCte.withClause(boilerDocsCte,
+      "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM bdocs)",
+      """chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(t[CAST(i AS INT)*5+1 :
+        |      least((CAST(i AS INT)+1)*5, len(t))], ' ') AS chunk
+        |  FROM toks, UNNEST(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i)
+        |)""".stripMargin.replace("\n", " "),
+      """kept AS (
+        |  SELECT doc_id, pos, chunk, row_number() OVER (
+        |    PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM chunks
+        |)""".stripMargin.replace("\n", " ")) +
+      "SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_deduped " +
+      "FROM kept WHERE rn = 1 GROUP BY doc_id"
+
+  /** Hapax-planted fixture twin of SparkEntry.plantedRare. */
+  private val rareDocsCte: String =
+    """rdocs AS (
+      |  SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN
+      |    ' hx' || doc_id || ' px' || (doc_id % 3) ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin.replace("\n", " ")
+
+  /** Rare-token twin ([[graft.operators.TextAnalysis.rareTokenStats]]):
+    * hapax set via df = 1, LEFT join back, exact floor-division fraction
+    * (Spark `div` == DuckDB `//`). */
+  val rareTokens: String =
+    OracleCte.withClause(rareDocsCte,
+      """tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM rdocs
+        |)""".stripMargin.replace("\n", " "),
+      """hapax AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok)
+        |  WHERE df = 1
+        |)""".stripMargin.replace("\n", " ")) +
+      "SELECT t.doc_id AS id, count(*) AS n_tokens, " +
+      "CAST(sum(CASE WHEN h.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_hapax, " +
+      "CAST((CAST(sum(CASE WHEN h.tok IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) * 1000000) // count(*) AS DOUBLE) / 1000000.0 AS rare_frac " +
+      "FROM tok t LEFT JOIN hapax h ON t.tok = h.tok GROUP BY t.doc_id"
+
+  /** Global-shuffle twin ([[graft.operators.Sampling.globalShuffleRank]],
+    * seed = 0, portable): the oracle states the SPEC — one global
+    * row_number over the seeded hash (fine in DuckDB at sf0.01) — while
+    * the Spark side computes the same permutation bucket-wise; their
+    * equality is exactly the bucket-decomposition law the operator's
+    * scaladoc claims. */
+  val globalShuffle: String =
+    OracleCte.withClause(
+      """skeyed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT AS skey
+        |  FROM documents
+        |)""".stripMargin.replace("\n", " ")) +
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY skey, doc_id) " +
+      "AS BIGINT) AS shuffle_rank FROM skeyed"
 }

@@ -57,6 +57,34 @@ object SparkEntry {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
 
+  /** Fixture for chunk dedup: the synthetic corpus has many natural
+    * duplicate 5-token chunks (tiny vocabulary) but no deterministic
+    * cross-doc law to assert, so both engines prepend the SAME 10-token
+    * boilerplate header to every 7th doc: dedup provably strips it from
+    * all but doc 0, and 10 = 2k tokens shifts the doc's own chunks by a
+    * whole number of chunk slots, leaving their contents intact. */
+  private def plantedBoiler(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("subscribe to our newsletter and accept all cookies " +
+          "to continue "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** Fixture for the rare-token signal: the synthetic vocabulary is so
+    * small every natural token's document frequency is >> 1 (zero hapax
+    * corpus-wide), so both engines append to every 13th doc one
+    * per-doc-unique token (a guaranteed hapax) and one token shared by all
+    * planted docs mod 3 (df >> 1 — exercising the df > 1 exclusion). */
+  private def plantedRare(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" hx"), col("doc_id").cast("string"),
+            lit(" px"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1: posexplode keeping position (span order is load-bearing)
     "explode_spans" -> ((s, dir) => exploded(s, dir)),
@@ -270,6 +298,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // C4-style cross-corpus chunk dedup over the boilerplate-planted
+    // corpus: globally-first occurrence of each 5-token chunk survives,
+    // docs reassembled from their surviving chunks in order
+    "chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(plantedBoiler(s, dir))),
+
+    // corpus-document-frequency rarity signal over the hapax-planted corpus
+    "text_rare" -> ((s, dir) =>
+      TextAnalysis.rareTokenStats(plantedRare(s, dir))),
+
+    // deterministic training-order shuffle: unique contiguous rank in
+    // seeded-hash order, computed bucket-wise (no global window)
+    "global_shuffle" -> ((s, dir) =>
+      Sampling.globalShuffleRank(
+        s.read.parquet(s"$dir/documents.parquet"), portable = true)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -481,6 +524,9 @@ object SparkEntry {
       "text_repetition" -> OracleSql.textRepetition,
       "decontam_hits" -> OracleSql.decontamHits,
       "decontam_keep" -> OracleSql.decontamKeep,
+      "chunk_dedup" -> OracleSql.chunkDedup,
+      "text_rare" -> OracleSql.rareTokens,
+      "global_shuffle" -> OracleSql.globalShuffle,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,

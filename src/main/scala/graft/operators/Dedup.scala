@@ -271,4 +271,39 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C4-style cross-corpus chunk dedup: split each doc into non-overlapping
+    * k-token chunks, keep only the globally FIRST occurrence of each
+    * distinct chunk (ordered by (doc_id, pos)), and reassemble each doc's
+    * surviving chunks in original order. Docs whose every chunk is a
+    * non-first duplicate drop out entirely.
+    *
+    * Scale shape: two hash aggregations and NO join — the kept set IS the
+    * per-chunk min(struct(doc_id, pos)) aggregate (one row per distinct
+    * chunk; map-side partial min means the shuffle carries each distinct
+    * chunk at most once per input partition), and reassembly is one
+    * groupBy(doc_id) bounded by the doc's own chunk count. No window over
+    * the corpus; Zipf-skewed chunk frequencies are absorbed by the
+    * associative min. Chunks are keyed by their exact text, not a 64-bit
+    * hash — a hash collision would silently DELETE text, the wrong default
+    * for a destructive operator. */
+  def chunkDedup(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "chunk size must be >= 1")
+    val w = split(col(textCol), " ")
+    val nChunks = ceil(size(w).cast("double") / k).cast("int")
+    docs
+      .filter(size(w) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * k + 1, lit(k)), " ")))
+          .as(Seq("pos", "chunk")))
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("f.pos").as("pos"),
+          col("chunk").as("chunk")))), x => x.getField("chunk")), " ")
+        .as("text_deduped"))
+  }
 }

@@ -125,4 +125,43 @@ object Sampling {
         lit((defaultRate * 1000000).toLong))
     docs.filter(slotOf("smx", seed, col(idCol), portable) < rateCol)
   }
+
+  /** Deterministic global training-order shuffle: every row gets a unique
+    * contiguous rank 1..n in seeded-hash order — "shuffle the corpus
+    * before sharding" with run-to-run reproducibility (rank is a function
+    * of the id and seed only, never of scan order or layout).
+    *
+    * Scale shape: a single global window would serialize the corpus
+    * through one task (see [[packSequences]]'s anti-pattern note), so the
+    * rank is computed bucket-wise. The top hash bits define `buckets`
+    * ORDER-ALIGNED buckets (every key in bucket b sorts before every key
+    * in bucket b+1 — floor division preserves order), so
+    * global rank = bucket offset + within-bucket rank. Per-bucket counts
+    * are one map-side-combined agg (≤ buckets rows); their running-sum
+    * window is over that bounded table only; offsets broadcast back; the
+    * within-bucket row_number windows run at `buckets`-way parallelism
+    * with ~n/buckets rows each. Choose buckets ≈ the cluster task count. */
+  def globalShuffleRank(docs: DataFrame, seed: Int = 0, buckets: Int = 256,
+      idCol: String = "doc_id", portable: Boolean = false): DataFrame = {
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val shift =
+      (if (portable) 60 else 64) - Integer.numberOfTrailingZeros(buckets)
+    val key =
+      if (portable) Dedup.portableHash60(seed, col(idCol).cast("string"))
+      else xxhash64(lit("shf"), lit(seed), col(idCol))
+    val keyed = docs.select(col(idCol).as("doc_id"), key.as("skey"),
+      shiftright(key, shift).as("bucket"))
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed.join(broadcast(offsets), "bucket")
+      .withColumn("shuffle_rank",
+        (col("offset") + row_number().over(w)).cast("bigint"))
+      .select(col("doc_id"), col("shuffle_rank"))
+  }
 }

@@ -173,4 +173,34 @@ object TextAnalysis {
         (expr("n_tokens * 1000000 div n_docs").cast("double") / 1000000.0)
           .as("mean_tokens"))
   }
+
+  /** Corpus-rarity signal per document (hapax-heavy docs ≈ OCR noise /
+    * base64 / gibberish that the length+stopword quality trio misses):
+    * count token OCCURRENCES whose type has corpus document frequency 1.
+    * Exact integers throughout; rare_frac is the 1e6 floor-division fix-up
+    * (see [[corpusStats]] — round() halfway semantics diverge between
+    * engines, floor division cannot).
+    *
+    * Scale shape: the document-frequency agg is a two-level distinct agg
+    * Catalyst expands itself; the join back onto the token stream is
+    * restricted to the df = 1 TAIL (hapax set) as a LEFT join — the Zipf
+    * head (stop tokens, ~corpus-sized doc lists) never appears on the
+    * build side, so there is no hot-key skew, and AQE may broadcast the
+    * hapax set when it is small. */
+  def rareTokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val hapax = tok.groupBy("tok")
+      .agg(countDistinct("id").as("df"))
+      .filter(col("df") === 1)
+      .select(col("tok"), lit(1L).as("is_hapax"))
+    tok.join(hapax, Seq("tok"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("is_hapax"), lit(0L))).as("n_hapax"))
+      .select(col("id"), col("n_tokens"), col("n_hapax"),
+        (expr("n_hapax * 1000000 div n_tokens").cast("double") / 1000000.0)
+          .as("rare_frac"))
+  }
 }

@@ -341,6 +341,72 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("chunkDedup: first occurrence wins; within-doc repeats deduped") {
+    val df = Seq(
+      (1L, "a b c d e x y"),        // chunks: "a b c d e" | "x y"
+      (2L, "a b c d e q r s t u"),  // chunk 0 duplicates doc 1's chunk 0
+      (3L, "k k k k k k k k k k"))  // chunk 1 duplicates chunk 0 in-doc
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, k = 5).as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e x y") // untouched: reassembly == original
+    assert(out(2L) == "q r s t u")
+    assert(out(3L) == "k k k k k")
+  }
+
+  test("chunkDedup: all-dup doc drops out; partial final chunk verbatim") {
+    val df = Seq(
+      (1L, "a b c d e f g"),  // "a b c d e" | "f g" (partial, verbatim)
+      (2L, "a b c d e"))      // single chunk, dup of doc 1's first
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, k = 5).as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e f g")
+    assert(!out.contains(2L), "doc with zero surviving chunks drops out")
+  }
+
+  test("chunkDedup: planted header stripped from all but min planted doc") {
+    val hdr = "subscribe to our newsletter and accept all cookies " +
+      "to continue "
+    val planted = docs
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(hdr), col("text")))
+          .otherwise(col("text")).as("text"))
+    val out = Dedup.chunkDedup(planted).as[(Long, String)].collect()
+    val plantedOut = out.filter(_._1 % 7 == 0)
+    assert(plantedOut.nonEmpty)
+    plantedOut.foreach { case (id, t) =>
+      assert(t.startsWith(hdr) == (id == 0L), s"doc $id")
+    }
+  }
+
+  test("rareTokenStats: occurrences of corpus-hapax types; floor law") {
+    val df = Seq(
+      (1L, "a b u1"),
+      (2L, "a b u2 u2"), // u2 twice in ONE doc: df=1, both occurrences count
+      (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(df)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, 0.333333)))
+    assert(out(2L) == ((2L, 4L, 2L, 0.5)))
+    assert(out(3L) == ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("rareTokenStats: natural corpus has zero hapax; plant adds one each") {
+    val natural = TextAnalysis.rareTokenStats(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(natural.forall(_._3 == 0L), "tiny vocab: no natural hapax")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 13 === 0,
+        concat(lit(" hx"), col("doc_id").cast("string"),
+          lit(" px"), (col("doc_id") % 3).cast("string")))
+        .otherwise(lit(""))).as("text"))
+    val out = TextAnalysis.rareTokenStats(planted)
+      .as[(Long, Long, Long, Double)].collect()
+    out.foreach { case (id, _, nh, _) =>
+      assert(nh == (if (id % 13 == 0) 1L else 0L), s"doc $id")
+    }
+  }
 }
 
 /** Deterministic sampling + sequence packing (builder prompt
@@ -461,6 +527,31 @@ class SamplingSpec extends SparkTestBase {
         Map("en" -> 0.4), 0.25, portable = true)
       .select($"doc_id").as[Long].collect().toSet
     assert(a == b)
+  }
+
+  test("globalShuffleRank: contiguous permutation, layout-independent") {
+    val r = Sampling.globalShuffleRank(docs, portable = true)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(r.map(_._2).toSeq == (1L to r.length).toSeq, "contiguous 1..n")
+    val r8 = Sampling.globalShuffleRank(docs.repartition(8), portable = true)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(r8.toSeq == r.toSeq, "rank is layout-independent")
+    // xxhash64 path: same laws, different permutation
+    val x = Sampling.globalShuffleRank(docs, buckets = 64)
+      .as[(Long, Long)].collect()
+    assert(x.map(_._2).sorted.toSeq == (1L to x.length).toSeq)
+  }
+
+  test("globalShuffleRank: bucket decomposition == direct global sort") {
+    val byRank = Sampling.globalShuffleRank(docs, portable = true)
+    val direct = docs.select(col("doc_id"),
+        Dedup.portableHash60(0, col("doc_id").cast("string")).as("skey"))
+      .withColumn("shuffle_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+      .select("doc_id", "shuffle_rank")
+    assert(byRank.as[(Long, Long)].collect().toSet ==
+      direct.as[(Long, Long)].collect().toSet)
   }
 }
 
