@@ -434,8 +434,14 @@ object OracleSql {
     * MinHash edge is lexical). */
   val curateDecisions: String = curateSql(semantic = true, decisions = true)
 
+  /** Near-dup cluster size histogram — twin of
+    * [[graft.operators.Curation.dupClusterSizes]] (portable config, no
+    * embeddings → semantic = false, matching the driver query). */
+  val curateClusterHist: String = curateSql(semantic = false, clusters = true)
+
   private def curateSql(semantic: Boolean,
-      decisions: Boolean = false): String = {
+      decisions: Boolean = false,
+      clusters: Boolean = false): String = {
     val numHashes = 64; val bands = 16; val rows = numHashes / bands
     val slots = (0 until numHashes).map(j =>
       s"min(('0x' || substr(md5('$j:' || shingle), 1, 15))::BIGINT) AS h$j")
@@ -539,7 +545,15 @@ object OracleSql {
           "UNION ALL SELECT b AS id FROM pr))")
       else Seq.empty)
     ).mkString("", ", ", " ") + (
-      if (decisions)
+      if (clusters)
+        // canon2 holds every near-dup edge endpoint exactly once, so the
+        // per-canonical count IS the cluster size (all ≥ 2) — the twin of
+        // [[graft.operators.Curation.dupClusterSizes]]'s comps frame
+        """SELECT cluster_size, count(*) AS n_clusters FROM (
+          |  SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+          |  FROM canon2 GROUP BY canonical) GROUP BY cluster_size"""
+          .stripMargin.replace("\n", " ")
+      else if (decisions)
         """SELECT d.doc_id, CASE
           |  WHEN l.lang_id <> 'en' THEN 'drop_lang'
           |  WHEN q.quality < 0.7 THEN 'drop_quality'
@@ -665,6 +679,24 @@ object OracleSql {
         |      ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
         | END || ' .' AS line
         | FROM (""".stripMargin.replace("\n", "") + triplesBody + ")"
+
+  /** KG report twins ([[graft.operators.GraphStats]]) over the same
+    * pipeline CTE chain as [[triplesFinal]]. Validated at sf0.001 against
+    * the Spark triple dump: 17 distinct degrees; the top-20 boundary
+    * lands mid-tie at degree 18, so the subj ASC tie-break is load-
+    * bearing on both sides; predicate totals sum to |triples|. */
+  val kgDegreeHist: String = triplesWith +
+    "SELECT degree, count(*) AS n_subjects FROM (SELECT subj, " +
+    "CAST(count(*) AS BIGINT) AS degree FROM (" + triplesBody +
+    ") GROUP BY subj) GROUP BY degree"
+
+  val kgTopHubs: String = triplesWith +
+    "SELECT subj, CAST(count(*) AS BIGINT) AS degree FROM (" + triplesBody +
+    ") GROUP BY subj ORDER BY degree DESC, subj ASC LIMIT 20"
+
+  val kgPredCounts: String = triplesWith +
+    "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples FROM (" +
+    triplesBody + ") GROUP BY pred"
 
   /** Bigram CTE for the repetition family: n-gram window i..i+n-1 via
     * list_slice, same construction as the shingles CTE (n there = 3).

@@ -313,6 +313,23 @@ object SparkEntry {
       Sampling.globalShuffleRank(
         s.read.parquet(s"$dir/documents.parquet"), portable = true)),
 
+    // KG report surface over the final triple set: subject out-degree
+    // histogram, top hubs (deterministic tie-break), predicate totals
+    "kg_degree_hist" -> ((s, dir) =>
+      GraphStats.degreeHistogram(Pipeline.triples(s, docs(s, dir)))),
+
+    "kg_top_hubs" -> ((s, dir) =>
+      GraphStats.topHubs(Pipeline.triples(s, docs(s, dir)))),
+
+    "kg_pred_counts" -> ((s, dir) =>
+      GraphStats.predicateCounts(Pipeline.triples(s, docs(s, dir)))),
+
+    // dedup diagnostics: near-dup cluster size distribution (portable
+    // hashes so DuckDB replays the identical clusters)
+    "curate_cluster_hist" -> ((s, dir) =>
+      Curation.dupClusterSizes(s,
+        s.read.parquet(s"$dir/documents.parquet"), portable = true)),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -527,6 +544,10 @@ object SparkEntry {
       "chunk_dedup" -> OracleSql.chunkDedup,
       "text_rare" -> OracleSql.rareTokens,
       "global_shuffle" -> OracleSql.globalShuffle,
+      "kg_degree_hist" -> OracleSql.kgDegreeHist,
+      "kg_top_hubs" -> OracleSql.kgTopHubs,
+      "kg_pred_counts" -> OracleSql.kgPredCounts,
+      "curate_cluster_hist" -> OracleSql.curateClusterHist,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,

@@ -45,6 +45,7 @@ object Curation {
       all: DataFrame,      // every doc × (id, text, lang_id, quality, n_tokens)
       kept: DataFrame,     // lang+quality pass ∩ exact-dedup survivors
       lexPairs: DataFrame, // MinHash-LSH candidate edges (a, b)
+      comps: DataFrame,    // CC assignment (entity_id, canonical) — edge endpoints only
       losers: DataFrame)   // near-dup cluster non-minimum ids (id)
 
   private def stages(spark: SparkSession, docs: DataFrame,
@@ -101,7 +102,7 @@ object Curation {
     val losers = comps
       .filter(col("entity_id") =!= col("canonical"))
       .select(col("entity_id").as("id"))
-    Stages(all, kept, lexPairs, losers)
+    Stages(all, kept, lexPairs, comps, losers)
   }
 
   /** Surviving documents with their curation features:
@@ -179,6 +180,33 @@ object Curation {
           .otherwise("kept"))
       .select(col("id").as("doc_id"), col("lang_id"), col("quality"),
         col("n_tokens"), col("status"), col("text"))
+  }
+
+  /** (cluster_size, n_clusters): size distribution of the near-dup
+    * clusters the curation chain collapses — the dedup diagnostic a
+    * corpus report quotes. Only docs touching at least one near-dup edge
+    * enter CC, so every size is ≥ 2; the rest of the kept set are
+    * singletons by construction. Two laws tie it to the survivor set
+    * (spec-asserted): Σ size·n_clusters = |CC'd docs| and
+    * Σ (size−1)·n_clusters = |cluster losers|. Built on the same stage
+    * frames as [[curateDocs]], so histogram and survivors cannot drift. */
+  def dupClusterSizes(spark: SparkSession, docs: DataFrame,
+      keepLang: String = "en", minQuality: Double = 0.7,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5,
+      maxDocFreq: Long = Spec.DedupMaxDocFreq,
+      portable: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text",
+      embeddings: Option[DataFrame] = None, minCos: Double = 0.4,
+      embDim: Int = 64, embIdCol: String = "vec_id",
+      embVecCol: String = "embedding",
+      semNPlanes: Int = -1, semNTables: Int = -1): DataFrame = {
+    val st = stages(spark, docs, keepLang, minQuality, n, numHashes, bands,
+      minEstJaccard, maxDocFreq, portable, idCol, textCol,
+      embeddings, minCos, embDim, embIdCol, embVecCol,
+      semNPlanes, semNTables)
+    st.comps.groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
   /** Result of [[writeCurated]]: per-bucket lineage of the survivor table

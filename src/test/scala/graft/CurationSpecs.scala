@@ -260,6 +260,22 @@ class DedupSpec extends SparkTestBase {
       Seq("doc_id", "lang_id", "quality", "n_tokens"))
   }
 
+  test("dupClusterSizes: laws tie the histogram to the survivor set") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hist = Curation.dupClusterSizes(spark, docs, portable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(hist.nonEmpty && hist.keys.forall(_ >= 2L),
+      "every CC cluster has >= 2 members (singletons never enter CC)")
+    val dec = Curation.curationDecisions(spark, docs, portable = true)
+    val nLosers = dec.filter(col("status").isin("drop_lexical",
+      "drop_semantic")).count()
+    // Σ (size−1)·n == |losers|; Σ size·n == |endpoints| == losers + minima
+    assert(hist.map { case (s, n) => (s - 1) * n }.sum == nLosers)
+    assert(hist.map { case (s, n) => s * n }.sum ==
+      nLosers + hist.values.sum)
+  }
+
   test("curationDecisions: statuses partition the corpus and agree with curateDocs") {
     import graft.operators.Curation
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -222,3 +222,33 @@ class SpanInvariantSpec extends SparkTestBase {
     }
   }
 }
+
+/** Goldens for the KG report surface (GraphStats). */
+class GraphStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val triples = Seq(
+    ("s1", "p1", "o1"), ("s1", "p1", "o2"), ("s1", "p2", "o3"),
+    ("s2", "p1", "o1"), ("s3", "p2", "o9"))
+    .toDF("subj", "pred", "obj")
+
+  test("degreeHistogram: known degrees") {
+    val h = GraphStats.degreeHistogram(triples)
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(3L -> 1L, 1L -> 2L))
+  }
+
+  test("topHubs: boundary tie broken by subj ASC") {
+    val t = Seq(("b", "p", "x"), ("a", "p", "x"), ("c", "p", "x"),
+      ("a", "p", "y")).toDF("subj", "pred", "obj")
+    val top2 = GraphStats.topHubs(t, k = 2).as[(String, Long)].collect()
+    assert(top2.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("predicateCounts: totals reconcile to |triples|") {
+    val pc = GraphStats.predicateCounts(triples)
+      .as[(String, Long)].collect().toMap
+    assert(pc == Map("p1" -> 3L, "p2" -> 2L))
+    assert(pc.values.sum == triples.count())
+  }
+}
