@@ -10,7 +10,15 @@ steal_pct >= STEAL_MAX (default 5.0) were contaminated by host-side CPU
 thieving during their timed window and are EXCLUDED before any
 aggregation; excluded counts are printed. Samples without the field
 (pre-v2 raws) are kept. Per-pair efficiencies use index pairing and drop
-any pair with a rejected member."""
+any pair with a rejected member.
+
+Gate v3 rule (d) (PRE-REGISTERED 2026-08-18 before the extension run —
+see tools/bench_kgw_steady_v3.sh): samples carrying a closing-canary
+bracket (canary_after_mhash / canary_after_steal, merged into the JSON
+line by the v3 harness) are additionally rejected when the closing
+canary read mhash < 0.95 or steal >= 3.0 — the opening gate's own
+calibrated thresholds, applied at the window's other end. Samples
+without the fields (v2 raws) are unaffected."""
 import json
 import statistics
 import sys
@@ -28,8 +36,19 @@ def load(cpus):
     return rows
 
 
+CANARY_MIN_MHASH = 0.95
+CANARY_MAX_STEAL = 3.0
+
+
 def accepted(r):
-    return r.get("steal_pct") is None or r["steal_pct"] < STEAL_MAX
+    if r.get("steal_pct") is not None and r["steal_pct"] >= STEAL_MAX:
+        return False
+    if r.get("canary_after_mhash") is not None:
+        if r["canary_after_mhash"] < CANARY_MIN_MHASH:
+            return False
+        if r.get("canary_after_steal", 0.0) >= CANARY_MAX_STEAL:
+            return False
+    return True
 
 
 def main():
@@ -40,9 +59,10 @@ def main():
     b = [r for r in b_all if accepted(r)]
     n_rej_a, n_rej_b = len(a_all) - len(a), len(b_all) - len(b)
     if n_rej_a or n_rej_b:
-        print(f"  gate-v2 steal exclusion (steal_pct >= {STEAL_MAX}): "
-              f"dropped {n_rej_a}/{len(a_all)} local[{lo}] and "
-              f"{n_rej_b}/{len(b_all)} local[{hi}] samples")
+        print(f"  gate exclusions (v2: steal_pct >= {STEAL_MAX}; v3: closing "
+              f"canary < {CANARY_MIN_MHASH} Mhash or steal >= "
+              f"{CANARY_MAX_STEAL}): dropped {n_rej_a}/{len(a_all)} "
+              f"local[{lo}] and {n_rej_b}/{len(b_all)} local[{hi}] samples")
     if not a or not b:
         print("  no accepted samples on one side — nothing to aggregate")
         return
