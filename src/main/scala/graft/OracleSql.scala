@@ -871,4 +871,78 @@ object OracleSql {
         |)""".stripMargin.replace("\n", " ")) +
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY skey, doc_id) " +
       "AS BIGINT) AS shuffle_rank FROM skeyed"
+
+  /** Split-assignment twin ([[graft.operators.Sampling.assignSplits]],
+    * defaults 98/1/1, seed 0, portable): the same seeded-hash slot CASEd
+    * over the 1e6-scaled cumulative weights. */
+  val assignSplits: String =
+    OracleCte.withClause(
+      """slotted AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('spl0:' || doc_id), 1, 15))::BIGINT
+        |      % 1000000 AS slot
+        |  FROM documents
+        |)""".stripMargin.replace("\n", " ")) +
+      "SELECT doc_id, CASE WHEN slot < 980000 THEN 'train' " +
+      "WHEN slot < 990000 THEN 'val' ELSE 'test' END AS split FROM slotted"
+
+  /** TF-IDF keyword twin ([[graft.operators.TextAnalysis.tfidfKeywords]],
+    * k = 5): ranking by tf·1e6 // df IS the tf·idf ranking (corpus size
+    * is a constant factor of idf); BIGINT floor division on both sides,
+    * ties frozen by token asc. */
+  val tfidfKeywords: String =
+    OracleCte.withClause(
+      "tok AS ( SELECT doc_id AS id, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents )",
+      "tf AS ( SELECT id, tok, count(*)::BIGINT AS tf " +
+        "FROM tok GROUP BY id, tok )",
+      "dfreq AS ( SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok )") +
+      "SELECT id, tok, tf, df, score_1e6, rn FROM (" +
+      "SELECT tf.id, tf.tok, tf.tf, dfreq.df, " +
+      "CAST((tf.tf * 1000000) // dfreq.df AS BIGINT) AS score_1e6, " +
+      "CAST(row_number() OVER (PARTITION BY tf.id " +
+      "ORDER BY (tf.tf * 1000000) // dfreq.df DESC, tf.tok ASC) AS BIGINT) " +
+      "AS rn FROM tf JOIN dfreq USING (tok)) WHERE rn <= 5"
+
+  /** Sessionization twin ([[graft.operators.Temporal.sessionize]], gap =
+    * 30 min): identical lag/running-sum construction; all outputs exact
+    * integers (epoch-µs via epoch_us ≡ Spark unix_micros; value cents via
+    * round(value·100) — 2-decimal values never land on a halfway). */
+  val sessionize: String =
+    OracleCte.withClause(
+      """ord AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    CASE WHEN lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id))
+        |           > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |)""".stripMargin.replace("\n", " "),
+      """sess AS (
+        |  SELECT user_id, event_id, v, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM ord
+        |)""".stripMargin.replace("\n", " ")) +
+      "SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, " +
+      "count(*)::BIGINT AS n_events, min(epoch_us(ts)) AS start_us, " +
+      "max(epoch_us(ts)) AS end_us, CAST(sum(v) AS BIGINT) AS value_cents " +
+      "FROM sess GROUP BY user_id, sess_idx"
+
+  /** As-of twin ([[graft.operators.Temporal.asofJoin]] driver query):
+    * DuckDB's NATIVE ASOF LEFT JOIN — a genuinely independent algorithm
+    * from the Spark union-trick plan, agreeing row-for-row including the
+    * inclusive-at-equal-ts boundary and NULLs for pre-signup purchases. */
+  val asofPurchaseSignup: String =
+    OracleCte.withClause(
+      "r AS ( SELECT user_id, ts, max(event_id) AS ref_event " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts )",
+      "l AS ( SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase' )") +
+      "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
+      "epoch_us(r.ts) AS ref_us, r.ref_event " +
+      "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
 }

@@ -80,6 +80,29 @@ object Plans {
     showExecuted("lsh_topk_multiprobe") {
       Similarity.lshTopK(emb, 5, 64, nPlanes = 6)
     }
+
+    // round-5 wave 7+8: split CASE must be a pure scan-side projection
+    // (no exchange); tfidf top-k must plan WindowGroupLimit; sessionize
+    // must show ONE exchange on user_id with both window functions over
+    // one sort; asofJoin ONE exchange of the union + one window.
+    show("assign_splits (pure projection, no exchange)") {
+      graft.operators.Sampling.assignSplits(documents, portable = true)
+    }
+    show("tfidf_keywords (WindowGroupLimit top-k)") {
+      graft.operators.TextAnalysis.tfidfKeywords(documents, k = 5)
+    }
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    show("sessionize (one exchange, windows share one sort)") {
+      graft.operators.Temporal.sessionize(events)
+    }
+    show("asof_join (union trick: one exchange, one window, no range join)") {
+      import org.apache.spark.sql.functions._
+      val l = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = events.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
+      graft.operators.Temporal.asofJoin(l, r, "user_id", "ts")
+    }
     spark.stop()
   }
 }

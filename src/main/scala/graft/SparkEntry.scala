@@ -313,6 +313,38 @@ object SparkEntry {
       Sampling.globalShuffleRank(
         s.read.parquet(s"$dir/documents.parquet"), portable = true)),
 
+    // deterministic train/val/test split (98/1/1, pure seeded-hash CASE —
+    // no randomSplit leakage) + exact-integer tf-idf keyword extraction
+    "assign_splits" -> ((s, dir) =>
+      Sampling.assignSplits(s.read.parquet(s"$dir/documents.parquet"),
+        portable = true)),
+
+    "tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(
+        s.read.parquet(s"$dir/documents.parquet"), k = 5)),
+
+    // temporal ops over events: gap sessionization (30 min) and the
+    // as-of join (each purchase -> most recent signup at-or-before it;
+    // DuckDB replays with its NATIVE ASOF JOIN — an independent algorithm)
+    "sessionize" -> ((s, dir) =>
+      Temporal.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+
+    "asof_purchase_signup" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // right side unique per (key, ts): keep max event_id; export its
+      // ts as a payload column so the match's timestamp survives the join
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("ref_event"))
+        .withColumn("ref_ts_us", unix_micros(col("ts").cast("timestamp")))
+      Temporal.asofJoin(l, r, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("ref_ts_us").as("ref_us"), col("ref_event"))
+    }),
+
     // KG report surface over the final triple set: subject out-degree
     // histogram, top hubs (deterministic tie-break), predicate totals
     "kg_degree_hist" -> ((s, dir) =>
@@ -544,6 +576,10 @@ object SparkEntry {
       "chunk_dedup" -> OracleSql.chunkDedup,
       "text_rare" -> OracleSql.rareTokens,
       "global_shuffle" -> OracleSql.globalShuffle,
+      "assign_splits" -> OracleSql.assignSplits,
+      "tfidf_keywords" -> OracleSql.tfidfKeywords,
+      "sessionize" -> OracleSql.sessionize,
+      "asof_purchase_signup" -> OracleSql.asofPurchaseSignup,
       "kg_degree_hist" -> OracleSql.kgDegreeHist,
       "kg_top_hubs" -> OracleSql.kgTopHubs,
       "kg_pred_counts" -> OracleSql.kgPredCounts,

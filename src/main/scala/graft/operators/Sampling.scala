@@ -126,6 +126,39 @@ object Sampling {
     docs.filter(slotOf("smx", seed, col(idCol), portable) < rateCol)
   }
 
+  /** Deterministic train/val/test split assignment: a pure CASE over the
+    * seeded id hash — membership is a function of (id, seed) only, so
+    * re-runs, executor counts, and layouts never move a document across
+    * a split boundary (the train/test-leakage hazard of
+    * DataFrame.randomSplit), and growing the corpus never reassigns an
+    * existing doc. Weights are 1e6-scaled cumulative thresholds over the
+    * same slot space as [[sampleByHash]]; the last split absorbs the
+    * integer-truncation residual so the intervals exactly partition
+    * [0, 1e6). Laws (spec-asserted): every doc lands in exactly one
+    * split; assignment commutes with any corpus filter (subset
+    * stability). Pure codegen'd filter-shaped projection — no shuffle,
+    * no rand(), pushdown-friendly. */
+  def assignSplits(docs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      seed: Int = 0, idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "split weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _)
+      .map(w => (w * 1000000).toLong)
+    val slot = slotOf("spl", seed, col(idCol), portable)
+    val assign = splits.init.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), i)) =>
+        val c = slot < cum(i + 1)
+        Some(acc.fold(when(c, name))(_.when(c, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    docs.select(col(idCol), assign.as("split"))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a unique
     * contiguous rank 1..n in seeded-hash order — "shuffle the corpus
     * before sharding" with run-to-run reproducibility (rank is a function

@@ -203,4 +203,37 @@ object TextAnalysis {
         (expr("n_hapax * 1000000 div n_tokens").cast("double") / 1000000.0)
           .as("rare_frac"))
   }
+
+  /** Per-document top-k salient tokens by exact-integer tf·idf ranking:
+    * score_1e6 = tf·1e6 div df. The corpus size is a constant factor of
+    * idf, so ranking by tf/df IS the tf·idf ranking — and BIGINT floor
+    * division is bit-identical in Spark (`div`) and DuckDB (`//`): no
+    * log(), no doubles anywhere (the round-4 halfway-rounding lesson
+    * applied up front). Ties (score desc, then token asc) are frozen so
+    * the emitted top-k SET is deterministic and cross-engine identical.
+    *
+    * Scale shape: token explode → (id, tok) hash agg (tf, map-side
+    * partial combine) → vocab-sized df agg off the tf frame (tf rows are
+    * unique per (id, tok), so count(*) IS the document frequency) → join
+    * back on tok whose build side is ONE row per vocab token — Zipf-head
+    * tokens are not skew here, every probe row matches exactly one build
+    * row, and AQE broadcasts the vocab when small → per-doc row_number
+    * ≤ k planned as WindowGroupLimit (per-partition top-k before the
+    * exchange, the same shape as [[Sampling.stratifiedSample]]). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_1e6").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      .withColumn("score_1e6", expr("tf * 1000000 div df"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        col("score_1e6"), col("rn"))
+  }
 }

@@ -569,6 +569,68 @@ class SamplingSpec extends SparkTestBase {
     assert(byRank.as[(Long, Long)].collect().toSet ==
       direct.as[(Long, Long)].collect().toSet)
   }
+
+  test("assignSplits: partitions the corpus and commutes with filters") {
+    val s = Sampling.assignSplits(docs, portable = true).cache()
+    assert(s.count() == docs.count(), "every doc gets exactly one split")
+    val byName = s.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") + byName("test"))
+    // subset stability: assigning a filtered corpus == filtering the
+    // corpus assignment (a pure per-row function of id — randomSplit
+    // fails this law)
+    val sub = docs.filter(col("doc_id") % 3 === 0)
+    val a = Sampling.assignSplits(sub, portable = true)
+      .as[(Long, String)].collect().toSet
+    val b = s.join(sub.select("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    s.unpersist()
+    // xxhash64 path: same partition law
+    val x = Sampling.assignSplits(docs)
+    assert(x.count() == docs.count())
+    assert(x.groupBy("split").count().count() == 3)
+  }
+
+  test("assignSplits: rejects bad weights; last split absorbs residual") {
+    val tiny = spark.range(3).select(col("id").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(tiny, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    // 1/3+1/3+1/3 truncates to 333333-wide first two intervals; every
+    // slot still lands somewhere (the last split takes [666666, 1e6))
+    val thirds = Sampling.assignSplits(docs,
+      Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)),
+      portable = true)
+    assert(thirds.count() == docs.count())
+  }
+
+  test("tfidfKeywords: hand golden + per-doc top-k laws") {
+    // doc1 "x x y", doc2 "y z": df x=1 y=2 z=1;
+    // scores: (1,x)=2e6 (1,y)=5e5 (2,z)=1e6 (2,y)=5e5
+    val tiny = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val g = TextAnalysis.tfidfKeywords(tiny, k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(g == Set(
+      (1L, "x", 2L, 1L, 2000000L, 1L), (1L, "y", 1L, 2L, 500000L, 2L),
+      (2L, "z", 1L, 1L, 1000000L, 1L), (2L, "y", 1L, 2L, 500000L, 2L)))
+    // laws on the real corpus: <= k rows per doc, rn contiguous from 1,
+    // score non-increasing in rn, every doc present
+    val kw = TextAnalysis.tfidfKeywords(docs, k = 5).cache()
+    val perDoc = kw.groupBy("id")
+      .agg(count(lit(1)).as("n"), max("rn").as("maxrn"),
+        min("rn").as("minrn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perDoc.forall(r => r._2 <= 5 && r._3 == r._2 && r._4 == 1L))
+    assert(perDoc.length == docs.count())
+    val mono = kw.withColumn("prev", lag("score_1e6", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy("rn")))
+      .filter(col("prev").isNotNull && col("prev") < col("score_1e6"))
+    assert(mono.count() == 0, "score non-increasing in rank")
+    kw.unpersist()
+  }
 }
 
 /** Benchmark decontamination + repetition signals (builder prompt
