@@ -158,9 +158,12 @@ object Bench {
     results += "cc_600k" -> tCc
 
     // 4. curation + relational staples from the verified query set
+    // (round 5 adds the temporal pair: sessionize is the one-shuffle
+    // windowed shape, asof the union-trick join, both over events)
     val staples = Seq("dedup_minhash_lsh", "dedup_simhash", "emb_topk",
       "emb_lsh_topk", "dedup_ngram_jaccard", "q_lineitem_agg",
-      "q_window_topk", "gazetteer_match", "top1_link")
+      "q_window_topk", "gazetteer_match", "top1_link",
+      "sessionize", "asof_purchase_signup")
     staples.foreach { name =>
       val (t, _) = timed(SparkEntry.queries(name)(spark, sfDir).count())
       results += name -> t

@@ -945,4 +945,28 @@ object OracleSql {
       "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, " +
       "epoch_us(r.ts) AS ref_us, r.ref_event " +
       "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+
+  /** Tumbling-window twin ([[graft.operators.Temporal.tumblingCounts]],
+    * 1 h windows): exact integer epoch-µs floor-division buckets — no
+    * date_trunc (whose timezone semantics can diverge across engines). */
+  val tumblingCounts: String =
+    "SELECT event_type, " +
+      "(epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us, " +
+      "count(*)::BIGINT AS n_events, " +
+      "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) " +
+      "AS value_cents FROM events GROUP BY 1, 2"
+
+  /** Funnel-lag twin ([[graft.operators.Temporal.lagHistogram]],
+    * signup → purchase, 1-day buckets): native ASOF LEFT JOIN again,
+    * lag floor-divided into whole days. */
+  val funnelLagHist: String =
+    OracleCte.withClause(
+      "r AS ( SELECT user_id, ts, max(event_id) AS ref_event " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts )",
+      "l AS ( SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase' )",
+      "m AS ( SELECT l.event_id, epoch_us(l.ts) - epoch_us(r.ts) AS lag_us " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts )") +
+      "SELECT lag_us // 86400000000 AS lag_days, count(*)::BIGINT AS n " +
+      "FROM m WHERE lag_us IS NOT NULL GROUP BY 1"
 }

@@ -329,6 +329,17 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       Temporal.sessionize(s.read.parquet(s"$dir/events.parquet"))),
 
+    // batch analog of a streaming windowed agg: hourly tumbling roll-up
+    // per event type (exact integer epoch-us floor division buckets)
+    "tumbling_counts" -> ((s, dir) =>
+      Temporal.tumblingCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    // funnel analysis: signup -> purchase conversion-lag histogram in
+    // whole-day buckets (asofJoin + one tiny agg)
+    "funnel_lag_hist" -> ((s, dir) =>
+      Temporal.lagHistogram(s.read.parquet(s"$dir/events.parquet"),
+        fromType = "signup", toType = "purchase")),
+
     "asof_purchase_signup" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val l = ev.filter(col("event_type") === "purchase")
@@ -580,6 +591,8 @@ object SparkEntry {
       "tfidf_keywords" -> OracleSql.tfidfKeywords,
       "sessionize" -> OracleSql.sessionize,
       "asof_purchase_signup" -> OracleSql.asofPurchaseSignup,
+      "tumbling_counts" -> OracleSql.tumblingCounts,
+      "funnel_lag_hist" -> OracleSql.funnelLagHist,
       "kg_degree_hist" -> OracleSql.kgDegreeHist,
       "kg_top_hubs" -> OracleSql.kgTopHubs,
       "kg_pred_counts" -> OracleSql.kgPredCounts,

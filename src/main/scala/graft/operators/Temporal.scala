@@ -60,6 +60,50 @@ object Temporal {
         sum("v").as("value_cents"))
   }
 
+  /** Tumbling-window roll-up, the batch analog of a streaming windowed
+    * aggregation: events bucketed into fixed `winUs` windows by exact
+    * integer floor division of epoch-µs (`us div winUs · winUs` ==
+    * DuckDB `//` — no date_trunc, whose timezone/DST semantics can
+    * diverge across engines), counted and cents-summed per
+    * (`keyCol`, window). ONE hash aggregate with map-side partial
+    * combine — the cheapest possible distributed shape; window starts
+    * align across engines and across re-runs by construction. */
+  def tumblingCounts(events: DataFrame, winUs: Long = 3600L * 1000000L,
+      keyCol: String = "event_type"): DataFrame = {
+    require(winUs > 0, "window width must be positive")
+    events
+      .select(col(keyCol),
+        (expr(s"unix_micros(cast(ts as timestamp)) div $winUs") * winUs)
+          .as("win_start_us"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col(keyCol), col("win_start_us"))
+      .agg(count(lit(1)).as("n_events"), sum("v").as("value_cents"))
+  }
+
+  /** Conversion-lag histogram: for every `toType` event, the elapsed
+    * time since the same user's most recent `fromType` event at-or-before
+    * it (via [[asofJoin]]), floor-divided into `bucketUs` buckets —
+    * the funnel-analysis staple (signup → purchase lag distribution).
+    * Unmatched events (conversion without a prior `fromType`) are
+    * excluded, matching ASOF LEFT + IS NOT NULL on both engines.
+    * Scale shape: the asofJoin's one shuffle + ordered scan, then one
+    * tiny hash agg over bucket ids. */
+  def lagHistogram(events: DataFrame, fromType: String, toType: String,
+      bucketUs: Long = 86400L * 1000000L): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val l = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r = events.filter(col("event_type") === fromType)
+      .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
+      .withColumn("ref_us", unix_micros(col("ts").cast("timestamp")))
+    asofJoin(l, r, "user_id", "ts")
+      .select((unix_micros(col("ts").cast("timestamp")) - col("ref_us"))
+        .as("lag_us"))
+      .filter(col("lag_us").isNotNull)
+      .select(expr(s"lag_us div $bucketUs").as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n"))
+  }
+
   /** As-of join: for each left row, the single right row with the
     * greatest `tsCol` ≤ left `tsCol` on the same `keyCol` (inclusive —
     * ASOF semantics; unmatched left rows get NULL right columns, ASOF

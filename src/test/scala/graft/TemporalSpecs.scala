@@ -102,6 +102,45 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Set((900L, Some(11L), 100L), (901L, None, 200L)))
   }
 
+  test("tumblingCounts: conservation + alignment laws at sf0.001") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val t = Temporal.tumblingCounts(ev).cache()
+    assert(t.agg(sum("n_events")).as[Long].head() == ev.count())
+    val cents =
+      ev.select(sum(round(col("value") * 100).cast("long"))).as[Long].head()
+    assert(t.agg(sum("value_cents")).as[Long].head() == cents)
+    // every window start is aligned to the window width
+    assert(t.filter(col("win_start_us") % (3600L * 1000000L) =!= 0)
+      .count() == 0)
+    // every event's us falls inside its window: re-bucketing the raw
+    // events gives the identical histogram
+    val re = ev.select(col("event_type"),
+        (unix_micros(col("ts").cast("timestamp"))
+          - pmod(unix_micros(col("ts").cast("timestamp")),
+              lit(3600L * 1000000L))).as("win_start_us"))
+      .groupBy("event_type", "win_start_us").count()
+      .as[(String, Long, Long)].collect().toSet
+    assert(t.select(col("event_type"), col("win_start_us"),
+      col("n_events")).as[(String, Long, Long)].collect().toSet == re)
+    t.unpersist()
+  }
+
+  test("lagHistogram: totals match asofJoin matches; buckets non-negative") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val h = Temporal.lagHistogram(ev, "signup", "purchase").cache()
+    // matched-count law: histogram mass == purchases with a prior signup
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
+    val matched = Temporal.asofJoin(l, r, "user_id", "ts")
+      .filter(col("ref_event").isNotNull).count()
+    assert(h.agg(sum("n")).as[Long].head() == matched)
+    assert(h.filter(col("lag_days") < 0).count() == 0,
+      "as-of matches are at-or-before, so lags are never negative")
+    h.unpersist()
+  }
+
   test("asofJoin: layout-independent and rejects colliding columns") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val l = ev.filter(col("event_type") === "purchase")
