@@ -698,6 +698,58 @@ object OracleSql {
     "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples FROM (" +
     triplesBody + ") GROUP BY pred"
 
+  /** Fixed-point PageRank twin ([[graft.operators.GraphStats.pageRank]],
+    * 3 iterations, d=0.85, 1e6 micro-units): the power iteration is
+    * UNROLLED into one CTE pair per step, and every step is exact
+    * BIGINT arithmetic (DuckDB `//` ≡ Spark `div` on non-negative
+    * operands) so the two engines agree bit-for-bit — no float
+    * summation order to diverge on. Edges are the iri-object projection
+    * of the same pipeline CTE chain; dangling mass is not redistributed
+    * on either side. */
+  private def pagerankCtes(iters: Int, dampPct: Int, unit: Long): String = {
+    val base = unit - dampPct * unit / 100
+    val fixed =
+      s", predges AS (SELECT subj AS src, obj AS dst FROM ($triplesBody) " +
+        "WHERE obj_type = 'iri')" +
+        ", prnodes AS (SELECT src AS node FROM predges " +
+        "UNION SELECT dst FROM predges)" +
+        ", proutdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d " +
+        "FROM predges GROUP BY src)" +
+        s", pr0 AS (SELECT node, CAST($unit AS BIGINT) AS rank_micros " +
+        "FROM prnodes)"
+    val steps = (1 to iters).map { i =>
+      s", prc$i AS (SELECT e.dst AS node, " +
+        "CAST(sum(r.rank_micros // o.d) AS BIGINT) AS s " +
+        s"FROM predges e JOIN pr${i - 1} r ON e.src = r.node " +
+        "JOIN proutdeg o ON e.src = o.src GROUP BY e.dst)" +
+        s", pr$i AS (SELECT n.node, CAST($base + " +
+        s"($dampPct * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_micros " +
+        s"FROM prnodes n LEFT JOIN prc$i c ON n.node = c.node)"
+    }.mkString
+    fixed + steps
+  }
+
+  val kgPagerank: String = triplesWith + pagerankCtes(3, 85, 1000000L) +
+    " SELECT node, rank_micros FROM pr3"
+
+  val kgPagerankTop: String = triplesWith + pagerankCtes(3, 85, 1000000L) +
+    " SELECT node, rank_micros FROM pr3 " +
+    "ORDER BY rank_micros DESC, node ASC LIMIT 20"
+
+  /** Length-decile twin ([[graft.operators.TextAnalysis.lengthQuantiles]]):
+    * DuckDB states the SAME quantile as one global row_number under the
+    * total order (n_chars, doc_id) — the Spark side decomposes that rank
+    * into per-length row_number + broadcast cumulative offsets, which is
+    * algebraically identical, so the integer bucket formula matches
+    * bit-for-bit. */
+  val lengthDeciles: String =
+    "SELECT qbucket, count(*)::BIGINT AS n_docs, min(n_chars) AS min_chars, " +
+      "max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM (SELECT n_chars, (10 * (row_number() OVER " +
+      "(ORDER BY n_chars, doc_id) - 1)) " +
+      "// (SELECT count(*) FROM documents) AS qbucket FROM documents) " +
+      "GROUP BY qbucket"
+
   /** Bigram CTE for the repetition family: n-gram window i..i+n-1 via
     * list_slice, same construction as the shingles CTE (n there = 3).
     * Fractions use the 1e6 truncation fix-up shared with the Spark side

@@ -323,6 +323,13 @@ object SparkEntry {
       TextAnalysis.tfidfKeywords(
         s.read.parquet(s"$dir/documents.parquet"), k = 5)),
 
+    // corpus length-decile report via the bucket-offset exact global
+    // rank (no single-partition window; DuckDB twin states the same
+    // rank as one global row_number)
+    "doc_len_deciles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // temporal ops over events: gap sessionization (30 min) and the
     // as-of join (each purchase -> most recent signup at-or-before it;
     // DuckDB replays with its NATIVE ASOF JOIN — an independent algorithm)
@@ -366,6 +373,19 @@ object SparkEntry {
 
     "kg_pred_counts" -> ((s, dir) =>
       GraphStats.predicateCounts(Pipeline.triples(s, docs(s, dir)))),
+
+    // graph analytics over the emitted KG: fixed-point integer PageRank
+    // (3 unrolled power iterations in exact BIGINT micro-units — the
+    // iterative join+agg distributed shape, bit-identical across
+    // engines and layouts), full vector + deterministic top-20
+    "kg_pagerank" -> ((s, dir) =>
+      GraphStats.pageRank(
+        GraphStats.iriEdges(Pipeline.triples(s, docs(s, dir))))),
+
+    "kg_pagerank_top" -> ((s, dir) =>
+      GraphStats.pageRank(
+        GraphStats.iriEdges(Pipeline.triples(s, docs(s, dir))))
+        .orderBy(col("rank_micros").desc, col("node").asc).limit(20)),
 
     // dedup diagnostics: near-dup cluster size distribution (portable
     // hashes so DuckDB replays the identical clusters)
@@ -589,6 +609,7 @@ object SparkEntry {
       "global_shuffle" -> OracleSql.globalShuffle,
       "assign_splits" -> OracleSql.assignSplits,
       "tfidf_keywords" -> OracleSql.tfidfKeywords,
+      "doc_len_deciles" -> OracleSql.lengthDeciles,
       "sessionize" -> OracleSql.sessionize,
       "asof_purchase_signup" -> OracleSql.asofPurchaseSignup,
       "tumbling_counts" -> OracleSql.tumblingCounts,
@@ -596,6 +617,8 @@ object SparkEntry {
       "kg_degree_hist" -> OracleSql.kgDegreeHist,
       "kg_top_hubs" -> OracleSql.kgTopHubs,
       "kg_pred_counts" -> OracleSql.kgPredCounts,
+      "kg_pagerank" -> OracleSql.kgPagerank,
+      "kg_pagerank_top" -> OracleSql.kgPagerankTop,
       "curate_cluster_hist" -> OracleSql.curateClusterHist,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,

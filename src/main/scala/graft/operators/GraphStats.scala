@@ -36,4 +36,63 @@ object GraphStats {
     * reconciliation law the spec asserts). */
   def predicateCounts(triples: DataFrame): DataFrame =
     triples.groupBy("pred").agg(count(lit(1)).as("n_triples"))
+
+  /** Fixed-point integer PageRank over a (src, dst) edge table —
+    * `iters` unrolled power iterations in exact BIGINT micro-units so
+    * the result is bit-identical across engines, executors, and
+    * partition layouts (every step is an order-independent integer sum
+    * or a truncating integer division; no float summation order to
+    * diverge on):
+    *
+    *   rank₀(v)   = unitMicros
+    *   contrib(u→v) = rank(u) div outdeg(u)
+    *   rankₜ(v)   = (unit − d·unit div 100) + (d · Σ contrib) div 100
+    *
+    * with d = `dampPct`/100. Dangling mass is NOT redistributed (a
+    * sink keeps only the teleport term) — the common simplification;
+    * documented rather than hidden, and replayed identically by the
+    * DuckDB oracle's unrolled CTE twin.
+    *
+    * Scale shape: per iteration ONE shuffle join of the rank vector
+    * (|V| rows, 2 columns) against the edge list on `src` plus one
+    * hash agg on `dst` with map-side partial combine — the classic
+    * distributed PageRank step. The edge list is localCheckpointed
+    * once at entry: the iterative plan references the materialized
+    * 2-column edges instead of re-deriving the upstream pipeline
+    * O(iters) times, and on a cluster the same truncation point is
+    * where you'd persist edges bucketed by src so every iteration's
+    * join co-locates without a fresh edge shuffle. Rank lineage is
+    * truncated every 4 iterations so deep unrolls don't accrete an
+    * unbounded plan. */
+  def pageRank(edgesIn: DataFrame, iters: Int = 3, dampPct: Int = 85,
+      unitMicros: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && unitMicros > 0,
+      "iters >= 1, dampPct in [0,100], unitMicros > 0")
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val base = unitMicros - dampPct * unitMicros / 100
+    var ranks = nodes.select(col("node"), lit(unitMicros).as("rank_micros"))
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_micros div d").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$base + ($dampPct * coalesce(s, 0)) div 100")
+            .as("rank_micros"))
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The iri-object projection of a triple table as a PageRank edge
+    * list (literal objects are attributes, not graph edges). */
+  def iriEdges(triples: DataFrame): DataFrame =
+    triples.filter(col("obj_type") === "iri")
+      .select(col("subj").as("src"), col("obj").as("dst"))
 }

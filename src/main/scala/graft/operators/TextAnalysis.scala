@@ -236,4 +236,43 @@ object TextAnalysis {
       .select(col("id"), col("tok"), col("tf"), col("df"),
         col("score_1e6"), col("rn"))
   }
+
+  /** Exact corpus length-quantile report without a single-partition
+    * window: each doc's EXACT global rank under the total order
+    * (`lenCol`, `idCol`) is its per-length row_number plus the
+    * cumulative count of all shorter lengths — the same bucket-offset
+    * decomposition as [[Sampling.globalShuffleRank]], except the
+    * "bucket" here is the length value itself so bucket order IS rank
+    * order. The only global window runs over the distinct-length
+    * histogram (tiny: one row per distinct length), which is then
+    * broadcast; the per-doc window partitions BY length, so no
+    * executor ever sorts more than one length-class. quantile(doc) =
+    * (nBuckets · (rank−1)) div N — identical integer math to the
+    * DuckDB twin's row_number formulation, hence hash-identical.
+    *
+    * `docs.count()` is one exact scalar aggregate to pin N into the
+    * quantile literal — not a driver-side loop. A corpus where ONE
+    * length value dominates would skew the per-length window; the fix
+    * is the same two-level salted-offset extension globalShuffleRank
+    * documents, not needed for any tested corpus. */
+  def lengthQuantiles(docs: DataFrame, nBuckets: Int = 10,
+      lenCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val total = docs.count()
+    require(total > 0, "empty corpus has no quantiles")
+    val hist = docs.groupBy(col(lenCol)).agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(Window.orderBy(col(lenCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(lenCol), col("offset"))
+    val w = Window.partitionBy(col(lenCol)).orderBy(col(idCol))
+    docs.select(col(idCol), col(lenCol))
+      .join(broadcast(hist), Seq(lenCol))
+      .withColumn("rank", col("offset") + row_number().over(w))
+      .select(col(lenCol),
+        expr(s"($nBuckets * (rank - 1)) div $total").as("qbucket"))
+      .groupBy("qbucket").agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_chars"), max(col(lenCol)).as("max_chars"),
+        sum(col(lenCol)).as("sum_chars"))
+  }
 }

@@ -631,6 +631,29 @@ class SamplingSpec extends SparkTestBase {
     assert(mono.count() == 0, "score non-increasing in rank")
     kw.unpersist()
   }
+
+  test("lengthQuantiles: equal-count buckets, ordered ranges, conservation") {
+    val q = TextAnalysis.lengthQuantiles(docs).cache()
+    val n = docs.count()
+    val rows = q.orderBy("qbucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    // equal-count law: bucket sizes differ by at most 1 and sum to N
+    assert(rows.map(_._2).sum == n)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // buckets are ordered, non-overlapping length ranges
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"decile ranges overlap: $a vs $b")
+    }
+    // conservation: per-bucket char sums reconcile to the corpus total
+    val totalChars = docs.agg(sum("n_chars")).as[Long].head()
+    assert(rows.map(_._5).sum == totalChars)
+    // layout independence: exact integer rank math
+    val re = TextAnalysis.lengthQuantiles(docs.repartition(7))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(re == rows.toSet)
+    q.unpersist()
+  }
 }
 
 /** Benchmark decontamination + repetition signals (builder prompt

@@ -251,4 +251,39 @@ class GraphStatsSpec extends SparkTestBase {
     assert(pc == Map("p1" -> 3L, "p2" -> 2L))
     assert(pc.values.sum == triples.count())
   }
+
+  test("pageRank: hand-computed golden (3 iters, d=0.85, micro-units)") {
+    // ring A->B->C->A plus D->A; all out-degrees 1; D receives nothing
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("D", "A"))
+      .toDF("src", "dst")
+    val got = GraphStats.pageRank(edges).as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1127500L, "B" -> 1108375L,
+      "C" -> 1614125L, "D" -> 150000L))
+  }
+
+  test("pageRank: node coverage, teleport floor, mass contraction") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("x", "a"),
+      ("c", "x"), ("c", "a")).toDF("src", "dst")
+    val pr = GraphStats.pageRank(edges, iters = 5).cache()
+    val nNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct().count()
+    assert(pr.count() == nNodes &&
+      pr.select(countDistinct("node")).as[Long].head() == nNodes)
+    // every rank is at least the teleport term; total mass never grows
+    // (no dangling redistribution + floor division only loses mass)
+    assert(pr.filter(col("rank_micros") < 150000L).count() == 0)
+    assert(pr.agg(sum("rank_micros")).as[Long].head() <= nNodes * 1000000L)
+    pr.unpersist()
+  }
+
+  test("pageRank: partition-layout independent (exact integer math)") {
+    val edges = Seq.tabulate(60) { i =>
+      (s"n${i % 12}", s"n${(i * 7 + 3) % 12}")
+    }.toDF("src", "dst")
+    val a = GraphStats.pageRank(edges, iters = 4)
+      .as[(String, Long)].collect().toMap
+    val b = GraphStats.pageRank(edges.repartition(13), iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
 }
