@@ -672,13 +672,34 @@ object OracleSql {
   val triplesFinal: String = triplesWith + triplesBody
 
   /** S6 N-Triples text export over the final triple set. */
-  val ntriplesExport: String =
+  private val ntriplesBody: String =
+    """SELECT '<' || subj || '> <' || pred || '> ' ||
+      | CASE WHEN obj_type = 'iri' THEN '<' || obj || '>'
+      |      ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
+      | END || ' .' AS line
+      | FROM (""".stripMargin.replace("\n", "") + triplesBody + ")"
+
+  val ntriplesExport: String = triplesWith + ntriplesBody
+
+  /** N-Triples round-trip twin ([[graft.sources.TripleSink.parseNTriples]]):
+    * parse the export CTE's own lines back to (subj, pred, obj,
+    * obj_type) with the same anchored RE2∩Java regex and the same
+    * two-pass literal unescape (`\"`→`"` then `\\`→`\`) — the result
+    * must hash-equal [[triplesFinal]], which the spec asserts as
+    * parse(export(T)) ≡ T. */
+  val ntriplesRoundtrip: String = {
+    val pat = """'^<([^>]+)> <([^>]+)> (.+) \.$'"""
     triplesWith +
-      """SELECT '<' || subj || '> <' || pred || '> ' ||
-        | CASE WHEN obj_type = 'iri' THEN '<' || obj || '>'
-        |      ELSE '"' || replace(replace(obj, '\', '\\'), '"', '\"') || '"'
-        | END || ' .' AS line
-        | FROM (""".stripMargin.replace("\n", "") + triplesBody + ")"
+      s"""SELECT regexp_extract(line, $pat, 1) AS subj,
+         | regexp_extract(line, $pat, 2) AS pred,
+         | CASE WHEN raw LIKE '<%' THEN substring(raw, 2, length(raw) - 2)
+         |      ELSE replace(replace(substring(raw, 2, length(raw) - 2),
+         |             '\"', '"'), '\\', '\') END AS obj,
+         | CASE WHEN raw LIKE '<%' THEN 'iri' ELSE 'literal' END AS obj_type
+         | FROM (SELECT line, regexp_extract(line, $pat, 3) AS raw
+         |       FROM ($ntriplesBody) WHERE regexp_matches(line, $pat))"""
+        .stripMargin.replace("\n", "")
+  }
 
   /** KG report twins ([[graft.operators.GraphStats]]) over the same
     * pipeline CTE chain as [[triplesFinal]]. Validated at sf0.001 against
@@ -735,6 +756,26 @@ object OracleSql {
   val kgPagerankTop: String = triplesWith + pagerankCtes(3, 85, 1000000L) +
     " SELECT node, rank_micros FROM pr3 " +
     "ORDER BY rank_micros DESC, node ASC LIMIT 20"
+
+  /** Entity co-occurrence twin ([[graft.operators.GraphStats
+    * .cooccurrence]]): distinct (doc, entity) incidence from the
+    * ex:mentions triples, self-joined on the doc key with ent_a <
+    * ent_b, lift in exact 1e6 fixed point — all BIGINT, bit-identical
+    * to the Spark side. */
+  val kgCooccur: String = triplesWith +
+    ", com AS (SELECT DISTINCT subj AS did, obj AS ent FROM (" +
+    triplesBody + ") WHERE pred = 'ex:mentions')" +
+    ", con AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS n FROM com)" +
+    ", coca AS (SELECT ent, CAST(count(*) AS BIGINT) AS c " +
+    "FROM com GROUP BY ent) " +
+    "SELECT p.ent_a, p.ent_b, p.c_ab, x.c AS c_a, y.c AS c_b, " +
+    "CAST((p.c_ab * con.n * 1000000) // (x.c * y.c) AS BIGINT) " +
+    "AS lift_1e6 " +
+    "FROM (SELECT a.ent AS ent_a, b.ent AS ent_b, " +
+    "CAST(count(*) AS BIGINT) AS c_ab FROM com a JOIN com b " +
+    "ON a.did = b.did AND a.ent < b.ent GROUP BY 1, 2) p " +
+    "JOIN coca x ON p.ent_a = x.ent " +
+    "JOIN coca y ON p.ent_b = y.ent CROSS JOIN con"
 
   /** Length-decile twin ([[graft.operators.TextAnalysis.lengthQuantiles]]):
     * DuckDB states the SAME quantile as one global row_number under the

@@ -387,6 +387,18 @@ object SparkEntry {
         GraphStats.iriEdges(Pipeline.triples(s, docs(s, dir))))
         .orderBy(col("rank_micros").desc, col("node").asc).limit(20)),
 
+    // KG enrichment: which entities co-occur in the same documents more
+    // than chance (integer-lift scoring, doc-key self-join)
+    "kg_cooccur" -> ((s, dir) =>
+      GraphStats.cooccurrence(Pipeline.triples(s, docs(s, dir)))),
+
+    // N-Triples SOURCE: parse the exported lines back to triples —
+    // parse(export(T)) == T, the round-trip law
+    "ntriples_roundtrip" -> ((s, dir) =>
+      graft.sources.TripleSink.parseNTriples(
+        graft.sources.TripleSink.toNTriples(
+          Pipeline.triples(s, docs(s, dir))))),
+
     // dedup diagnostics: near-dup cluster size distribution (portable
     // hashes so DuckDB replays the identical clusters)
     "curate_cluster_hist" -> ((s, dir) =>
@@ -619,6 +631,8 @@ object SparkEntry {
       "kg_pred_counts" -> OracleSql.kgPredCounts,
       "kg_pagerank" -> OracleSql.kgPagerank,
       "kg_pagerank_top" -> OracleSql.kgPagerankTop,
+      "kg_cooccur" -> OracleSql.kgCooccur,
+      "ntriples_roundtrip" -> OracleSql.ntriplesRoundtrip,
       "curate_cluster_hist" -> OracleSql.curateClusterHist,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,

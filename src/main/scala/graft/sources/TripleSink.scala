@@ -217,4 +217,33 @@ object TripleSink {
               "\"", "\\\\\""), lit("\""))),
         lit(" .")).as("line"))
       .orderBy("line")
+
+  /** The N-Triples SOURCE — exact inverse of [[toNTriples]], closing
+    * the round-trip: parse(export(T)) ≡ T, spec- and oracle-asserted.
+    * One anchored regex (in the Java∩RE2 subset, like the redaction
+    * chain, so DuckDB's RE2 twin matches byte-for-byte) splits subject
+    * / predicate / object term; the object term's leading `<` decides
+    * iri vs literal, and literal unescaping inverts the export's
+    * escape order (`\"`→`"` first, then `\\`→`\` — left-to-right
+    * non-overlapping replace in both engines makes the two-pass
+    * inverse exact because the export doubles every original
+    * backslash). Non-matching lines are dropped, not thrown — a
+    * malformed-line feed yields its well-formed subset, mirroring the
+    * span-guard policy. Pure codegen'd expressions; at scale this is
+    * a narrow map over a text scan. */
+  def parseNTriples(lines: DataFrame): DataFrame = {
+    val re = "^<([^>]+)> <([^>]+)> (.+) \\.$"
+    lines.filter(col("line").rlike(re))
+      .select(regexp_extract(col("line"), re, 1).as("subj"),
+        regexp_extract(col("line"), re, 2).as("pred"),
+        regexp_extract(col("line"), re, 3).as("raw"))
+      .select(col("subj"), col("pred"),
+        when(col("raw").startsWith("<"),
+          expr("substring(raw, 2, length(raw) - 2)"))
+          .otherwise(
+            replace(replace(expr("substring(raw, 2, length(raw) - 2)"),
+              lit("\\\""), lit("\"")), lit("\\\\"), lit("\\"))).as("obj"),
+        when(col("raw").startsWith("<"), lit("iri"))
+          .otherwise(lit("literal")).as("obj_type"))
+  }
 }

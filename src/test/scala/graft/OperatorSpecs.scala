@@ -276,6 +276,31 @@ class GraphStatsSpec extends SparkTestBase {
     pr.unpersist()
   }
 
+  test("cooccurrence: hand golden incl. lift fixed-point") {
+    // d1:{A,B,C} d2:{A,B} d3:{A} -> N=3, c_A=3 c_B=2 c_C=1
+    val t = Seq(("d1", "A"), ("d1", "B"), ("d1", "C"), ("d2", "A"),
+      ("d2", "B"), ("d3", "A"))
+      .map { case (d, e) => (d, "ex:mentions", e, "iri") }
+      .toDF("subj", "pred", "obj", "obj_type")
+    val got = GraphStats.cooccurrence(t)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 2L, 3L, 2L, 1000000L),
+      ("A", "C", 1L, 3L, 1L, 1000000L),
+      ("B", "C", 1L, 2L, 1L, 1500000L)))
+  }
+
+  test("cooccurrence: pair laws on the real pipeline triples") {
+    val t = Pipeline.triples(spark,
+      InterleavedDocs.synthesize(spark, 200L, seed = 5L))
+    val co = GraphStats.cooccurrence(t).cache()
+    // canonical orientation, co-count bounded by both marginals
+    assert(co.filter(col("ent_a") >= col("ent_b")).count() == 0)
+    assert(co.filter(col("c_ab") > col("c_a") ||
+      col("c_ab") > col("c_b")).count() == 0)
+    co.unpersist()
+  }
+
   test("pageRank: partition-layout independent (exact integer math)") {
     val edges = Seq.tabulate(60) { i =>
       (s"n${i % 12}", s"n${(i * 7 + 3) % 12}")

@@ -67,4 +67,25 @@ class TripleSinkSpec extends SparkTestBase {
     assert(lines.forall(l => l.startsWith("<ex:") && l.endsWith(" .")))
     assert(lines.exists(_.contains("\"")), "label literals present")
   }
+
+  test("N-Triples round-trip: parse(export(T)) == T incl. nasty literals") {
+    import spark.implicits._
+    val nasty = Seq(
+      ("ex:doc/1", "ex:mentions", "ex:ent/A", "iri"),
+      ("ex:doc/1", "ex:label", "plain text", "literal"),
+      ("ex:doc/1", "ex:label", "quote \" inside", "literal"),
+      ("ex:doc/1", "ex:label", "back \\ slash", "literal"),
+      ("ex:doc/1", "ex:label", "both \\\" mix \\\\ end", "literal"),
+      ("ex:doc/1", "ex:label", "ends with dot .", "literal"),
+      ("ex:doc/1", "ex:label", "angle > bracket", "literal"))
+      .toDF("subj", "pred", "obj", "obj_type")
+    for (t <- Seq(nasty, triples)) {
+      val back = TripleSink.parseNTriples(TripleSink.toNTriples(t))
+      assert(back.exceptAll(t).isEmpty && t.exceptAll(back).isEmpty,
+        "round-trip must be the identity on the triple set")
+    }
+    // malformed lines are dropped, not thrown
+    val junk = Seq("not a triple", "<a> <b> incomplete").toDF("line")
+    assert(TripleSink.parseNTriples(junk).count() == 0)
+  }
 }
