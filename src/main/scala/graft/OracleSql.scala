@@ -757,6 +757,16 @@ object OracleSql {
     " SELECT node, rank_micros FROM pr3 " +
     "ORDER BY rank_micros DESC, node ASC LIMIT 20"
 
+  /** Key-skew twin ([[graft.operators.GraphStats.keySkewReport]] on the
+    * triple subject key): log₂ bucket as binary-digit count − 1
+    * (`bin(c)` ≡ Spark `conv(c,10,2)` — exact, no float log). */
+  val kgSkewReport: String = triplesWith +
+    "SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_cnt, " +
+    "count(*)::BIGINT AS n_keys, min(c) AS min_cnt, max(c) AS max_cnt, " +
+    "CAST(sum(c) AS BIGINT) AS sum_cnt FROM (SELECT subj, " +
+    "CAST(count(*) AS BIGINT) AS c FROM (" + triplesBody +
+    ") GROUP BY subj) GROUP BY 1"
+
   /** Entity co-occurrence twin ([[graft.operators.GraphStats
     * .cooccurrence]]): distinct (doc, entity) incidence from the
     * ex:mentions triples, self-joined on the doc key with ent_a <
@@ -1048,6 +1058,19 @@ object OracleSql {
       "count(*)::BIGINT AS n_events, " +
       "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) " +
       "AS value_cents FROM events GROUP BY 1, 2"
+
+  /** Interval-join twin ([[graft.operators.Temporal.intervalJoin]],
+    * purchase ↔ click within ±1 h per user): DuckDB states the NAIVE
+    * theta join — an independent algorithm — so the hash match proves
+    * the Spark side's bucket-replication decomposition exact. */
+  val intervalJoinPc: String =
+    OracleCte.withClause(
+      "l AS ( SELECT user_id AS k, event_id AS l_event, " +
+        "epoch_us(ts) AS l_us FROM events WHERE event_type = 'purchase' )",
+      "r AS ( SELECT user_id AS k, event_id AS r_event, " +
+        "epoch_us(ts) AS r_us FROM events WHERE event_type = 'click' )") +
+      "SELECT l.k, l_event, r_event, l_us - r_us AS delta_us " +
+      "FROM l JOIN r ON l.k = r.k AND abs(l_us - r_us) <= 3600000000"
 
   /** Funnel-lag twin ([[graft.operators.Temporal.lagHistogram]],
     * signup → purchase, 1-day buckets): native ASOF LEFT JOIN again,

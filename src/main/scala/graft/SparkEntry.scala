@@ -392,6 +392,19 @@ object SparkEntry {
     "kg_cooccur" -> ((s, dir) =>
       GraphStats.cooccurrence(Pipeline.triples(s, docs(s, dir)))),
 
+    // skew diagnostic over the Zipf subject key: log2 histogram of
+    // per-key counts (exact binary-digit math, no float log)
+    "kg_skew_report" -> ((s, dir) =>
+      GraphStats.keySkewReport(Pipeline.triples(s, docs(s, dir)), "subj")),
+
+    // range-join scale pattern: purchase <-> click within +-1h per user
+    // via bucket replication; DuckDB replays the NAIVE theta join
+    "interval_join_pc" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Temporal.intervalJoin(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    }),
+
     // N-Triples SOURCE: parse the exported lines back to triples —
     // parse(export(T)) == T, the round-trip law
     "ntriples_roundtrip" -> ((s, dir) =>
@@ -633,6 +646,8 @@ object SparkEntry {
       "kg_pagerank_top" -> OracleSql.kgPagerankTop,
       "kg_cooccur" -> OracleSql.kgCooccur,
       "ntriples_roundtrip" -> OracleSql.ntriplesRoundtrip,
+      "kg_skew_report" -> OracleSql.kgSkewReport,
+      "interval_join_pc" -> OracleSql.intervalJoinPc,
       "curate_cluster_hist" -> OracleSql.curateClusterHist,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,

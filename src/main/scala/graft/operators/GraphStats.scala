@@ -132,4 +132,20 @@ object GraphStats {
         col("c_b"),
         expr(s"c_ab * ${n}L * 1000000L div (c_a * c_b)").as("lift_1e6"))
   }
+
+  /** Key-skew diagnostic: the log₂ histogram of per-key row counts —
+    * the report that tells you whether a join/agg key needs salting
+    * BEFORE the shuffle falls over (the head-entity skew the salted
+    * join and range-repartitioned write exist for, quantified). The
+    * log₂ bucket is computed EXACTLY as binary-digit count − 1
+    * (`conv(c,10,2)` length ≡ DuckDB `bin(c)` length — no float log2,
+    * whose libm rounding can flip a power-of-two boundary between
+    * engines). Two hash aggs, the second over ≤64 rows. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .select((length(conv(col("c"), 10, 2)) - 1)
+        .cast("long").as("log2_cnt"), col("c"))
+      .groupBy("log2_cnt").agg(count(lit(1)).as("n_keys"),
+        min("c").as("min_cnt"), max("c").as("max_cnt"),
+        sum("c").as("sum_cnt"))
 }

@@ -104,6 +104,36 @@ object Temporal {
       .groupBy("lag_days").agg(count(lit(1)).as("n"))
   }
 
+  /** Bucketed interval join — the range-join scale pattern: pair every
+    * left row with every right row on the same `keyCol` whose timestamp
+    * lies within ±`tolUs`. A naive theta-join degrades to a per-key
+    * cross product; instead both sides are bucketed by epoch-µs floor
+    * division by `tolUs`, the RIGHT side is replicated to its bucket
+    * and both neighbors (any pair within tol spans at most adjacent
+    * buckets, and the three replica buckets are distinct so no pair is
+    * emitted twice), and the join is a plain equi-join on (key, bucket)
+    * + a residual |Δ| ≤ tol filter — ONE shuffle at 3× right-side
+    * volume, never quadratic. The DuckDB twin is the naive theta join,
+    * an independent algorithm, so the driver gate proves the bucketing
+    * exact. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id",
+      tolUs: Long = 3600L * 1000000L): DataFrame = {
+    require(tolUs > 0, "tolerance must be positive")
+    def prep(df: DataFrame, side: String) =
+      df.select(col(keyCol).as("k"), col(idCol).as(s"${side}_event"),
+        unix_micros(col(tsCol).cast("timestamp")).as(s"${side}_us"))
+    val l = prep(left, "l").withColumn("b", expr(s"l_us div $tolUs"))
+    val r = prep(right, "r").withColumn("b",
+      explode(array(expr(s"r_us div $tolUs - 1"),
+        expr(s"r_us div $tolUs"), expr(s"r_us div $tolUs + 1"))))
+    l.join(r, Seq("k", "b"))
+      .filter(abs(col("l_us") - col("r_us")) <= tolUs)
+      .select(col("k"), col("l_event"), col("r_event"),
+        (col("l_us") - col("r_us")).as("delta_us"))
+  }
+
   /** As-of join: for each left row, the single right row with the
     * greatest `tsCol` ≤ left `tsCol` on the same `keyCol` (inclusive —
     * ASOF semantics; unmatched left rows get NULL right columns, ASOF

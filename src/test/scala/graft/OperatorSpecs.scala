@@ -276,6 +276,26 @@ class GraphStatsSpec extends SparkTestBase {
     pr.unpersist()
   }
 
+  test("keySkewReport: exact log2 buckets + reconciliation laws") {
+    // keys with counts 1, 2, 3, 8 -> buckets 0:{1}, 1:{2,3}, 3:{8}
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(8)("d")
+    val df = rows.toDF("k")
+    val got = GraphStats.keySkewReport(df, "k")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 1L, 1L, 1L), (1L, 2L, 2L, 3L, 5L),
+      (3L, 1L, 8L, 8L, 8L)))
+    // laws on real triples: key totals and row totals reconcile, and
+    // every bucket's [min,max] sits inside [2^b, 2^(b+1))
+    val t = Pipeline.triples(spark,
+      InterleavedDocs.synthesize(spark, 300L, seed = 9L))
+    val rep = GraphStats.keySkewReport(t, "subj")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._2).sum == t.select("subj").distinct().count())
+    assert(rep.map(_._5).sum == t.count())
+    assert(rep.forall(r => r._3 >= (1L << r._1) && r._4 < (2L << r._1)))
+  }
+
   test("cooccurrence: hand golden incl. lift fixed-point") {
     // d1:{A,B,C} d2:{A,B} d3:{A} -> N=3, c_A=3 c_B=2 c_C=1
     val t = Seq(("d1", "A"), ("d1", "B"), ("d1", "C"), ("d2", "A"),

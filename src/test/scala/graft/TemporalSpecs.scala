@@ -141,6 +141,41 @@ class TemporalSpec extends SparkTestBase {
     h.unpersist()
   }
 
+  test("intervalJoin: bucket decomposition == naive theta join at sf0.001") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "click")
+    val fast = Temporal.intervalJoin(l, r)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lu = l.select(col("user_id").as("k"), col("event_id").as("l_event"),
+      unix_micros(col("ts").cast("timestamp")).as("l_us"))
+    val ru = r.select(col("user_id").as("k2"), col("event_id").as("r_event"),
+      unix_micros(col("ts").cast("timestamp")).as("r_us"))
+    val naive = lu.join(ru, col("k") === col("k2") &&
+        abs(col("l_us") - col("r_us")) <= 3600L * 1000000L)
+      .select(col("k"), col("l_event"), col("r_event"),
+        (col("l_us") - col("r_us")).as("delta_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+    assert(fast.forall(p => math.abs(p._4) <= 3600L * 1000000L))
+  }
+
+  test("intervalJoin: golden — boundary inclusive, cross-bucket pair kept") {
+    import java.sql.Timestamp
+    def t(us: Long) = new Timestamp(us / 1000)
+    // tol = 100ms buckets; (l=199, r=101): |Δ|=98ms same bucket;
+    // (l=199, r=99): |Δ|=100ms exactly at tol AND crossing buckets 1|0
+    // (inclusive + adjacent-replica case); (l=199, r=300): bucket 3,
+    // non-adjacent and outside tol; user 2 at Δ=0: wrong key
+    val l = Seq((1L, 10L, t(199000))).toDF("user_id", "event_id", "ts")
+    val r = Seq((1L, 20L, t(101000)), (1L, 21L, t(99000)),
+      (1L, 22L, t(300000)), (2L, 23L, t(199000)))
+      .toDF("user_id", "event_id", "ts")
+    val got = Temporal.intervalJoin(l, r, tolUs = 100000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 20L, 98000L), (1L, 10L, 21L, 100000L)))
+  }
+
   test("asofJoin: layout-independent and rejects colliding columns") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val l = ev.filter(col("event_type") === "purchase")
