@@ -141,6 +141,23 @@ object OracleSql {
       .replace("\n", ""),
     "shp AS (SELECT sh.id, sh.shingle FROM sh JOIN shf USING (shingle))")
 
+  /** Prefix-filter twin ([[graft.operators.Dedup.jaccardPrefixPairs]],
+    * θ=80%): DuckDB runs the FULL inverted-index join with the same
+    * integer threshold/score — an independent algorithm with NO prefix
+    * filter — so the hash match proves the Spark side's prefix pruning
+    * lossless. */
+  val jaccardPrefix: String =
+    OracleCte.withClause(prunedShinglesCtes ++ Seq(
+      "psz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz " +
+        "FROM shp GROUP BY id)",
+      "pint AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) " +
+        "AS i FROM shp x JOIN shp y ON x.shingle = y.shingle " +
+        "AND x.id < y.id GROUP BY 1, 2)"): _*) +
+      "SELECT a, b, i AS inter, sa.sz + sb.sz - i AS union_sz, " +
+      "(i * 1000000) // (sa.sz + sb.sz - i) AS jacc_1e6 " +
+      "FROM pint JOIN psz sa ON sa.id = a JOIN psz sb ON sb.id = b " +
+      "WHERE 100 * i >= 80 * (sa.sz + sb.sz - i)"
+
   val ngramJaccard: String =
     OracleCte.withClause(prunedShinglesCtes ++ Seq(
       "sizes AS (SELECT id, count(*) AS sz FROM shp GROUP BY id)",

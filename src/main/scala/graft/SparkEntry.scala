@@ -194,6 +194,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         n = 3, minJaccard = 0.8, maxDocFreq = Spec.DedupMaxDocFreq)),
 
+    // ppjoin-style prefix filtering: only ~(1-theta) of each doc's
+    // rarest shingles are indexed; the DuckDB twin runs the FULL
+    // inverted join, so hash-green == losslessness proven
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, thetaPct = 80, maxDocFreq = Spec.DedupMaxDocFreq)),
+
     // MinHash-LSH with portable (md5-derived) slot hashes: banding join,
     // stop-shingle pruning and the codegen'd slot-agreement verify kernel
     // are all hash-checked against the DuckDB oracle; recall vs the exact
@@ -651,6 +658,7 @@ object SparkEntry {
       "curate_cluster_hist" -> OracleSql.curateClusterHist,
 
       "dedup_ngram_jaccard" -> OracleSql.ngramJaccard,
+      "dedup_jaccard_prefix" -> OracleSql.jaccardPrefix,
       "dedup_minhash_lsh" -> OracleSql.minHashLsh,
       "dedup_simhash" -> OracleSql.simHashPairs,
       "curate_docs" -> OracleSql.curateDocs,

@@ -114,6 +114,63 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** PPJoin-style prefix-filtered exact Jaccard pairs — the LOSSLESS
+    * sub-candidate optimization over [[ngramJaccardPairs]]'s full
+    * inverted-index join: under any global total order on shingles, two
+    * sets with J ≥ θ MUST share a token inside both of their first
+    * (sz − ⌈θ·sz⌉ + 1) tokens (take t* = the smallest common token; if
+    * t* sat outside x's prefix, all |x∩y| ≥ ⌈θ·sz_x⌉ common tokens
+    * would fit in x's ⌈θ·sz_x⌉−1 suffix slots — contradiction; prefixes
+    * are downward-closed so t* is in both). So only PREFIX tokens are
+    * indexed and joined — with θ=0.8 that is ~20% of the index and
+    * ~4% of the candidate volume — and candidates are then verified
+    * EXACTLY by intersecting the two docs' full sorted shingle arrays
+    * (codegen'd array_intersect; per-doc arrays, never a re-join over
+    * the inverted index). The global order is (docFreq ASC, shingle
+    * ASC): rarest-first, so the indexed prefix tokens are precisely the
+    * least-shared ones. All threshold math is integer
+    * (100·inter ≥ θpct·union; ⌈θ·sz⌉ = (θpct·sz+99) div 100) and the
+    * score is 1e6 fixed point — bit-identical to the DuckDB twin,
+    * which runs the FULL inverted-index join (an independent
+    * algorithm), so the gate's hash match proves losslessness.
+    * Per-doc windows only (prefix rank partitions by id). */
+  def jaccardPrefixPairs(docs: DataFrame, n: Int, thetaPct: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(thetaPct >= 1 && thetaPct <= 100, "thetaPct in [1,100]")
+    val sh = shingles(docs, n, idCol, textCol, maxDocFreq)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = sh.join(dfreq.hint("merge"), "shingle")
+      .withColumn("pos", row_number().over(pw))
+      .join(sizes.hint("merge"), "id")
+      .filter(col("pos") <= col("sz")
+        - expr(s"($thetaPct * sz + 99) div 100") + 1)
+      .select("id", "shingle")
+    val cand = prefix.as("x").join(prefix.as("y").hint("merge"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val toks = sh.groupBy("id")
+      .agg(sort_array(collect_list("shingle")).as("toks"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(toks.select(col("id").as("a"), col("toks").as("ta"),
+        col("sz").as("sa")).hint("merge"), "a")
+      .join(toks.select(col("id").as("b"), col("toks").as("tb"),
+        col("sz").as("sb")).hint("merge"), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb")))
+          .cast("long").as("inter"),
+        col("sa"), col("sb"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 100 >= col("union_sz") * thetaPct)
+      .select(col("a"), col("b"), col("inter"), col("union_sz"),
+        expr("inter * 1000000 div union_sz").as("jacc_1e6"))
+  }
+
   /** 60-bit seeded hash both Spark and DuckDB compute bit-identically:
     * the first 15 hex chars of md5("<seed>:<value>") parsed base-16
     * (15 chars = 60 bits < 2^63, so the parse is overflow-safe in both

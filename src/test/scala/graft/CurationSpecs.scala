@@ -40,6 +40,45 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardPrefixPairs: lossless vs full inverted join; prefix prunes") {
+    // losslessness: the prefix-filtered pair set equals the full
+    // inverted-index operator's at the same threshold
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val pref = Dedup.jaccardPrefixPairs(docs, 3, thetaPct = 80)
+    val prefPairs = pref.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty && prefPairs == full)
+    // score law: jacc_1e6 == floor(1e6 * inter / union) and >= theta
+    assert(pref.filter(col("jacc_1e6") =!=
+      expr("inter * 1000000 div union_sz")).count() == 0)
+    assert(pref.filter(col("inter") * 100 < col("union_sz") * 80)
+      .count() == 0)
+    // the optimization is real: the prefix index is a strict subset
+    val sh = Dedup.shingles(docs, 3)
+    val fullIdx = sh.count()
+    // ceil(0.8*sz) leaves a ~20% prefix per doc
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val prefBound = sizes
+      .select(sum(col("sz") - expr("(80 * sz + 99) div 100") + 1))
+      .as[Long].head()
+    assert(prefBound < fullIdx / 2,
+      "prefix index should be far smaller than the full index")
+  }
+
+  test("jaccardPrefixPairs: golden — near-dup caught, distinct not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    // docs 1,2: 6 shingles each, 5 shared -> J = 5/7 = 0.714
+    val at70 = Dedup.jaccardPrefixPairs(df, 3, thetaPct = 71)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(at70 == Set((1L, 2L, 5L, 7L, 714285L)))
+    val at80 = Dedup.jaccardPrefixPairs(df, 3, thetaPct = 80)
+    assert(at80.count() == 0)
+  }
+
   test("simhash: identical texts collide, hamming pairs are near-dups") {
     val df = Seq(
       (1L, "spark table scan fast query row value merge"),
