@@ -1140,6 +1140,26 @@ class MultimodalSpec extends SparkTestBase {
   * triple set as the batch pipeline (SURVEY.md §2.10). */
 class StreamingSpec extends SparkTestBase {
 
+  test("streaming windowed agg (Complete mode) equals batch tumblingCounts") {
+    import spark.implicits._
+    val evPath = "/root/testdata/sf0.001/events.parquet"
+    val schema = spark.read.parquet(evPath).schema
+    val q = graft.streaming.EventStream
+      .windowedEventCounts(spark, evPath, schema)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = graft.operators.Temporal
+      .tumblingCounts(spark.read.parquet(evPath))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == want,
+      "stream (Complete) must agree bit-for-bit with the batch roll-up")
+  }
+
   test("streamed construction equals batch construction") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val docs = graft.sources.InterleavedDocs.synthesize(spark, 100L, seed = 9L)
