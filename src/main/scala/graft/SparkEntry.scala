@@ -180,6 +180,21 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))),
 
+    // full grouping-sets lattice (rollup's sibling; §2.7)
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))),
+
+    // pivot: event-type counts per user bucket; empty cells filled 0 to
+    // match the oracle's FILTER aggregates
+    "q_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy((col("user_id") % 10).as("ub"))
+        .pivot("event_type", Seq("click", "purchase", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "purchase", "signup"))),
+
     "q_events_json" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy("event_type")
@@ -572,6 +587,16 @@ object SparkEntry {
         ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
           "round(sum(l_quantity), 4) AS qty FROM lineitem " +
           "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+      "q_cube" ->
+        ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+          "round(sum(l_quantity), 4) AS qty FROM lineitem " +
+          "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+      "q_pivot" ->
+        ("SELECT user_id % 10 AS ub, " +
+          "count(*) FILTER (event_type = 'click')::BIGINT AS click, " +
+          "count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase, " +
+          "count(*) FILTER (event_type = 'signup')::BIGINT AS signup " +
+          "FROM events GROUP BY 1"),
 
       // outer CAST: DuckDB sum(BIGINT) returns HUGEINT (int128), which the
       // driver's hasher canonicalizes differently from Spark's int64 —

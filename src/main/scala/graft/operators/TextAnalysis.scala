@@ -268,9 +268,9 @@ object TextAnalysis {
     val w = Window.partitionBy(col(lenCol)).orderBy(col(idCol))
     docs.select(col(idCol), col(lenCol))
       .join(broadcast(hist), Seq(lenCol))
-      .withColumn("rank", col("offset") + row_number().over(w))
+      .withColumn("grank", col("offset") + row_number().over(w))
       .select(col(lenCol),
-        expr(s"($nBuckets * (rank - 1)) div $total").as("qbucket"))
+        expr(s"($nBuckets * (grank - 1)) div $total").as("qbucket"))
       .groupBy("qbucket").agg(count(lit(1)).as("n_docs"),
         min(col(lenCol)).as("min_chars"), max(col(lenCol)).as("max_chars"),
         sum(col(lenCol)).as("sum_chars"))
