@@ -163,7 +163,8 @@ object Bench {
     val staples = Seq("dedup_minhash_lsh", "dedup_simhash", "emb_topk",
       "emb_lsh_topk", "dedup_ngram_jaccard", "q_lineitem_agg",
       "q_window_topk", "gazetteer_match", "top1_link",
-      "sessionize", "asof_purchase_signup")
+      "sessionize", "asof_purchase_signup",
+      "dedup_jaccard_prefix", "interval_join_pc", "doc_len_deciles")
     staples.foreach { name =>
       val (t, _) = timed(SparkEntry.queries(name)(spark, sfDir).count())
       results += name -> t

@@ -749,8 +749,13 @@ object OracleSql {
     val fixed =
       s", predges AS (SELECT subj AS src, obj AS dst FROM ($triplesBody) " +
         "WHERE obj_type = 'iri')" +
-        ", prnodes AS (SELECT src AS node FROM predges " +
-        "UNION SELECT dst FROM predges)" +
+        // NOT `a UNION b` at the top level of the CTE body: under WITH
+        // RECURSIVE DuckDB parses a CTE-top-level UNION as the
+        // recursive-union operator and SKIPS the distinct (verified:
+        // same query under plain WITH dedups, under WITH RECURSIVE it
+        // does not) — spell the dedup explicitly instead
+        ", prnodes AS (SELECT DISTINCT node FROM (SELECT src AS node " +
+        "FROM predges UNION ALL SELECT dst AS node FROM predges))" +
         ", proutdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d " +
         "FROM predges GROUP BY src)" +
         s", pr0 AS (SELECT node, CAST($unit AS BIGINT) AS rank_micros " +

@@ -32,6 +32,10 @@ object EventStream {
       schema: StructType, winDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+      // the testdata writes ts as TIMESTAMP_NTZ; event-time watermarks
+      // require TIMESTAMP, and the batch twin applies the same cast, so
+      // both sides bucket identical instants
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(col("event_type"), window(col("ts"), winDur))
       .agg(count(lit(1)).as("n_events"),

@@ -1142,7 +1142,12 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming windowed agg (Complete mode) equals batch tumblingCounts") {
     import spark.implicits._
-    val evPath = "/root/testdata/sf0.001/events.parquet"
+    // the file stream source needs a DIRECTORY; stage the single-file
+    // testdata parquet into one (multiple files -> multiple batches)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evs").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(4).write.parquet(s"$tmp/in")
+    val evPath = s"$tmp/in"
     val schema = spark.read.parquet(evPath).schema
     val q = graft.streaming.EventStream
       .windowedEventCounts(spark, evPath, schema)
