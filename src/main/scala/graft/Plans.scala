@@ -103,6 +103,38 @@ object Plans {
         .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
       graft.operators.Temporal.asofJoin(l, r, "user_id", "ts")
     }
+
+    // round-5 waves 10-15. pagerank: per iteration ONE SMJ/shuffle join
+    // of the rank vector against the checkpointed 2-col edge scan + one
+    // partial-agg exchange — NO re-derivation of the upstream pipeline
+    // inside the loop (the scan must read the localCheckpoint, not the
+    // AC matcher). interval_join: equi-join + residual filter — NO
+    // BroadcastNestedLoop/Cartesian (the naive theta-join shape).
+    // jaccard_prefix: candidate join probes only the prefix index; the
+    // verify is array_intersect over per-doc arrays, not a second
+    // inverted join. deciles: the only unbounded-partition window runs
+    // over the distinct-length histogram, then broadcast.
+    {
+      import org.apache.spark.sql.functions._
+      show("kg_pagerank (iterative join+agg over checkpointed edges)") {
+        graft.operators.GraphStats.pageRank(
+          graft.operators.GraphStats.iriEdges(Pipeline.triples(spark, docs)))
+      }
+      show("interval_join_pc (bucket replication, no nested-loop)") {
+        graft.operators.Temporal.intervalJoin(
+          events.filter(col("event_type") === "purchase"),
+          events.filter(col("event_type") === "click"))
+      }
+      show("doc_len_deciles (tiny-histogram window + broadcast offsets)") {
+        graft.operators.TextAnalysis.lengthQuantiles(documents)
+      }
+      showExecuted("dedup_jaccard_prefix (prefix index + array verify)") {
+        Dedup.jaccardPrefixPairs(documents, 3, thetaPct = 80)
+      }
+      show("kg_cooccur (doc-key self-join, bounded fan-out)") {
+        graft.operators.GraphStats.cooccurrence(Pipeline.triples(spark, docs))
+      }
+    }
     spark.stop()
   }
 }

@@ -133,7 +133,16 @@ object Dedup {
     * score is 1e6 fixed point — bit-identical to the DuckDB twin,
     * which runs the FULL inverted-index join (an independent
     * algorithm), so the gate's hash match proves losslessness.
-    * Per-doc windows only (prefix rank partitions by id). */
+    * Per-doc windows only (prefix rank partitions by id).
+    *
+    * Honest crossover note (measured): at sf0.1 (5k docs) this is
+    * SLOWER than [[ngramJaccardPairs]] (10.6 s vs 8.7 s at local[32])
+    * — the df-rank window + per-doc array build cost more than the
+    * candidate reduction saves while the inverted join still fits
+    * comfortably. The prefix path exists for the regime where the
+    * co-shingle pair count grows quadratically with corpus size and
+    * the full join becomes THE shuffle bottleneck; below that, use
+    * the plain operator. */
   def jaccardPrefixPairs(docs: DataFrame, n: Int, thetaPct: Int,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
