@@ -186,6 +186,23 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))),
 
+    // explicit left-semi staple (the join shape §2.6 lists): suppliers
+    // that ship anything, no right-side columns materialized
+    "q_semi_join" -> ((s, dir) =>
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(s.read.parquet(s"$dir/lineitem.parquet"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))),
+
+    // set-op staple: users seen in BOTH funnel stages (distinct set
+    // semantics on both engines)
+    "q_intersect" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.filter(col("event_type") === "view").select("user_id")
+        .intersect(
+          ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
     // pivot: event-type counts per user bucket; empty cells filled 0 to
     // match the oracle's FILTER aggregates
     "q_pivot" -> ((s, dir) =>
@@ -591,6 +608,13 @@ object SparkEntry {
         ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
           "round(sum(l_quantity), 4) AS qty FROM lineitem " +
           "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+      "q_semi_join" ->
+        ("SELECT s_suppkey, s_name FROM supplier WHERE EXISTS " +
+          "(SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)"),
+      "q_intersect" ->
+        ("SELECT user_id FROM events WHERE event_type = 'view' " +
+          "INTERSECT SELECT user_id FROM events " +
+          "WHERE event_type = 'purchase'"),
       "q_pivot" ->
         ("SELECT user_id % 10 AS ub, " +
           "count(*) FILTER (event_type = 'click')::BIGINT AS click, " +
