@@ -25,11 +25,16 @@ object Decontam {
   private def rawShingles(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame = {
     val w = split(col(textCol), " ")
+    // token array materialized before the interpreted lambda — without
+    // this, split(text) is re-parsed per element_at and the shingle
+    // generate is O(tokens²) per doc (see Dedup.rawShingles)
+    val toks = col("__toks")
     docs
       .filter(size(w) >= n)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .select(col(idCol).as("id"), w.as("__toks"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
           .as("shingle"))
   }
 

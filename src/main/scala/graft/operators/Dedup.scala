@@ -47,20 +47,38 @@ object Dedup {
     * threshold drops. */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val w = split(col(textCol), " ")
-    val sh = docs
-      .filter(size(w) >= n)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-          .as("shingle"))
-      .distinct()
+    val sh = rawShingles(docs, n, idCol, textCol)
     if (maxDocFreq == Long.MaxValue) sh
     else {
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq)
       sh.join(freq.select("shingle"), "shingle")
     }
+  }
+
+  /** Distinct (id, shingle) pairs without the stop-shingle prune — the
+    * shared generate shape of [[shingles]] and the fused signature path
+    * in [[minHashLshPairs]]. */
+  private def rawShingles(docs: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    // The token array is materialized in its OWN projection before the
+    // shingle lambda (guide §1.2 "per-task work"): higher-order functions
+    // are interpreted — no codegen, no subexpression elimination inside
+    // the lambda — so an inlined split(text) would be re-parsed for every
+    // element_at, making shingling O(tokens²) per doc (measured 13 µs per
+    // shingle at sf0.1; ~1 µs with the array bound to an attribute). The
+    // alias is referenced n+1 times by a non-cheap expression, which also
+    // keeps CollapseProject from re-inlining it.
+    val toks = col("__toks")
+    docs
+      .filter(size(w) >= n)
+      .select(col(idCol).as("id"), w.as("__toks"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+          .as("shingle"))
+      .distinct()
   }
 
   /** Observability for stop-shingle pruning: per-shingle doc frequency of
@@ -219,9 +237,31 @@ object Dedup {
       if (portable) portableHash60 else (j, c) => xxhash64(lit(j), c)
     // no .cache(): sig's three consumers (banding + both verify sides)
     // share its aggregation exchange via ReusedExchange — see
-    // ngramJaccardPairs for the lifecycle rationale
-    val sig = minHashSignatures(
-      shingles(docs, n, idCol, textCol, maxDocFreq), numHashes, hashFn)
+    // ngramJaccardPairs for the lifecycle rationale.
+    // The numHashes-seed hash family is evaluated once per DISTINCT
+    // shingle on the doc-frequency dimension (already keyed by distinct
+    // shingle for stop-shingle pruning) and carried through the existing
+    // join — never per (doc, shingle) occurrence (guide §1.2 "don't
+    // compute things you throw away": the corpus repeats each shingle
+    // ~10× at sf0.1, and min(element_at(hs, j)) over the joined array is
+    // bit-identical to min(hash_j(shingle))). The md5-based portable
+    // family is where this bites (64 md5+conv per row before; measured
+    // ~2.5× on the full operator); xxhash64 gains little but shares the
+    // shape.
+    val sh = rawShingles(docs, n, idCol, textCol)
+    val hashedDim = {
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val pruned =
+        if (maxDocFreq == Long.MaxValue) freq
+        else freq.filter(col("df") <= maxDocFreq)
+      pruned.select(col("shingle"),
+        array((0 until numHashes).map(j => hashFn(j, col("shingle"))): _*)
+          .as("hs"))
+    }
+    val sig = sh.join(hashedDim, "shingle")
+      .groupBy("id")
+      .agg(array((0 until numHashes).map(j =>
+        min(element_at(col("hs"), j + 1))): _*).as("sig"))
     def bandSlots(b: Int): Seq[Column] =
       (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
     def bandKey(b: Int): Column =
@@ -357,12 +397,16 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(k >= 1, "chunk size must be >= 1")
     val w = split(col(textCol), " ")
-    val nChunks = ceil(size(w).cast("double") / k).cast("int")
+    // token array materialized before the interpreted lambda — without
+    // this, slice(w, …) re-splits the text per chunk (see rawShingles)
+    val toks = col("__toks")
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
     docs
       .filter(size(w) > 0)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), w.as("__toks"))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(w, i * k + 1, lit(k)), " ")))
+          i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
           .as(Seq("pos", "chunk")))
       .groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))

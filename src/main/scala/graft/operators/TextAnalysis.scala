@@ -134,11 +134,16 @@ object TextAnalysis {
     val w = split(col(textCol), " ")
     def trunc6(c: Column): Column =
       (c * 1000000.0).cast("long").cast("double") / 1000000.0
+    // token array materialized before the interpreted lambda — without
+    // this, split(text) is re-parsed per element_at and the n-gram
+    // generate is O(tokens²) per doc (see Dedup.rawShingles)
+    val toks = col("__toks")
     docs
       .filter(size(w) >= n)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .select(col(idCol).as("id"), w.as("__toks"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
           .as("ngram"))
       .groupBy("id", "ngram").agg(count(lit(1)).as("cnt"))
       .groupBy("id").agg(
