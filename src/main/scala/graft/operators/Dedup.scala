@@ -322,8 +322,10 @@ object Dedup {
         .bitwiseAND(1)
   }
 
-  /** 64-bit SimHash per doc from token hashes — 64 conditional-sum
-    * aggregate columns (all codegen'd), bits set where the weighted sum is
+  /** 64-bit SimHash per doc: the 64 ±1 bit weights are computed once per
+    * DISTINCT token on a vocabulary dimension and joined back to the
+    * token stream (AQE broadcasts the dimension when small), then 64
+    * element-wise sum aggregates set the bits where the weighted sum is
     * positive. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",

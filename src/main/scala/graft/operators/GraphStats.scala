@@ -122,10 +122,13 @@ object GraphStats {
     // cross actions — uncheckpointed, the whole upstream pipeline
     // (explode → AC match → top-1 → remap) ran once for N and AGAIN for
     // the main plan (round-5 judge finding). The incidence is 2 columns,
-    // distinct'd, so the materialized blocks are small.
+    // distinct'd, so the materialized blocks are small. LAZY checkpoint:
+    // the count() below materializes it, so reuse is identical, but
+    // merely CONSTRUCTING this frame (plan tooling, schema inspection)
+    // does not execute the pipeline as a side effect.
     val m = triples.filter(col("pred") === predFilter)
       .select(col("subj").as("did"), col("obj").as("ent")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = m.select("did").distinct().count()
     val ca = m.groupBy("ent").agg(count(lit(1)).as("c"))
     val pairs = m.withColumnRenamed("ent", "ent_a")
