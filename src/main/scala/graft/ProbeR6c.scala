@@ -1,8 +1,12 @@
 package graft
 
 import org.apache.spark.scheduler._
-import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import graft.operators.{Canonicalizer, Dedup}
 
+/** Cold-run profile of the portable minhash query, optionally preceded by
+  * the bench entries that run before it (to reproduce the in-bench
+  * context). args: any of "cc" "kgsf" before timing. */
 object ProbeR6c {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,6 +22,19 @@ object ProbeR6c {
           si.numTasks))
       }
     })
+    if (args.contains("cc")) {
+      val t0 = System.nanoTime()
+      Canonicalizer.connectedComponents(spark,
+        BenchShapes.cc600kEdges(spark), smallGraphThreshold = 0L).count()
+      println(f"PROBE pre cc_600k: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    if (args.contains("kgsf")) {
+      val t0 = System.nanoTime()
+      Pipeline.triples(spark,
+        sources.InterleavedDocs.fromDocuments(spark, sfDir)).count()
+      println(f"PROBE pre kg_sfdocs: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    stages.clear()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val t0 = System.nanoTime()
     val n = Dedup.minHashLshPairs(docs, 3, 64, 16, 0.5,

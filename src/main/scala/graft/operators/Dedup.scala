@@ -262,9 +262,21 @@ object Dedup {
       val pruned =
         if (maxDocFreq == Long.MaxValue) freq
         else freq.filter(col("df") <= maxDocFreq)
-      pruned.select(col("shingle"),
-        array((0 until numHashes).map(j => hashFn(j, col("shingle"))): _*)
-          .as("hs"))
+      // Explicit repartition before the hash-family projection: the frame
+      // is tiny in BYTES (AQE coalesces it to ONE post-shuffle task) but
+      // carries numHashes hash evaluations per row — with the md5
+      // portable family that single task measured ~20 s on its first
+      // (interpreted, pre-JIT) execution, and WHERE it ran flip-flopped
+      // with AQE's broadcast build-side choice (25 s vs 6 s run-to-run).
+      // The partition count derives from the cluster (defaultParallelism),
+      // not a constant, and an explicit count is exempt from AQE
+      // coalescing, so the hashing stage stays wide at any scale.
+      pruned
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("shingle"))
+        .select(col("shingle"),
+          array((0 until numHashes).map(j => hashFn(j, col("shingle"))): _*)
+            .as("hs"))
     }
     // ONE element-wise-min aggregate (custom TypedImperativeAggregate)
     // instead of numHashes declarative min(element_at(hs, j)) columns:
@@ -272,7 +284,11 @@ object Dedup {
     // 64-wide fused codegen ran fully interpreted on its first (= the
     // graded, cold) execution, measured 22 s in one AQE-coalesced task
     // at sf0.1 (see ElementwiseMinLongs).
-    val sig = sh.join(hashedDim, "shingle")
+    // merge hint: at corpus scale the distinct-shingle dimension is
+    // corpus-sized (same rationale as every other join in this file), and
+    // pinning the strategy also removes the AQE build-side flip that made
+    // the first-run cost bimodal (the repartition note above)
+    val sig = sh.join(hashedDim.hint("merge"), "shingle")
       .groupBy("id")
       .agg(org.apache.spark.sql.graft.VectorFunctions
         .vminSlots(col("hs"), numHashes).as("sig"))
