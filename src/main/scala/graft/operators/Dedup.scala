@@ -366,12 +366,16 @@ object Dedup {
       .withColumn("h", hasher.hash(col("tok")))
       .select(col("tok"), array((0 until 64).map(b =>
         when(hasher.bit(col("h"), b) === 1, 1).otherwise(-1)): _*).as("bits"))
-    val bitSums = (0 until 64).map { b =>
-      sum(element_at(col("bits"), b + 1)).as(s"b$b")
-    }
-    tok.join(dim, "tok").groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    // ONE element-wise-sum aggregate instead of 64 declarative
+    // sum(element_at(bits, b)) columns — same first-run-interpretation
+    // rationale as minHashLshPairs' signature aggregate (see
+    // ElementwiseSumInts); per-slot long sums are bit-identical.
+    tok.join(dim, "tok").groupBy("id")
+      .agg(org.apache.spark.sql.graft.VectorFunctions
+        .vsumSlots(col("bits"), 64).as("sums"))
       .select(col("id"), (0 until 64).map(b =>
-        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        when(element_at(col("sums"), b + 1) > 0, shiftleft(lit(1L), b))
+          .otherwise(lit(0L)))
         .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("simhash"))
   }
 

