@@ -56,13 +56,24 @@ object Curation {
       embeddings: Option[DataFrame], minCos: Double, embDim: Int,
       embIdCol: String, embVecCol: String,
       semNPlanes: Int, semNTables: Int): Stages = {
-    val lang = TextAnalysis.langId(spark, docs, idCol, textCol)
-      .select(col("id"), col("lang_id"))
-    val qual = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col("id"), col("quality"), col("n_tokens"))
-    val all = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(lang, "id")
-      .join(qual, "id")
+    // ONE corpus join instead of three (round-6 optimization): quality
+    // and n_tokens are pure projections of the text column — computed
+    // INLINE via the shared TextAnalysis.qualityExprs builders, not
+    // self-joined from qualityScore's output — and the language argmax
+    // joins once via langBest with the same CJK/'und' CASE langId
+    // applies. Values are bit-identical by construction (shared column
+    // builders on both sides), and the chain's per-doc frame now costs a
+    // single left join against the dimension-sized profile-hit argmax.
+    val (nToks, _, quality) = TextAnalysis.qualityExprs(col(textCol))
+    val all = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        nToks.cast("bigint").as("n_tokens"), quality.as("quality"))
+      .join(TextAnalysis.langBest(spark, docs, idCol, textCol),
+        Seq("id"), "left")
+      .select(col("id"), col("text"),
+        when(col("text").rlike("[一-鿿]"), lit("zh"))
+          .otherwise(coalesce(col("lang"), lit("und"))).as("lang_id"),
+        col("quality"), col("n_tokens"))
     val base =
       all.filter(col("lang_id") === keepLang && col("quality") >= minQuality)
 

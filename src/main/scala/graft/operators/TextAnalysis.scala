@@ -68,20 +68,31 @@ object TextAnalysis {
     * both engines, so the oracle can never diverge. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val (n, ratio, quality) = qualityExprs(col(textCol))
+    docs.select(col(idCol).as("id"),
+      n.cast("bigint").as("n_tokens"),
+      round(ratio, 6).as("stopword_ratio"),
+      quality.as("quality"))
+  }
+
+  /** The (n_tokens, stopword_ratio, quality) expressions over a text
+    * column — shared by [[qualityScore]] and the curation chain
+    * ([[Curation]] computes quality INLINE on its per-doc frame instead
+    * of self-joining the corpus against this operator's output; sharing
+    * the builders keeps the two bit-identical by construction). */
+  private[operators] def qualityExprs(textCol: Column)
+      : (Column, Column, Column) = {
+    val toks = split(textCol, " ")
     val n = size(toks)
     val stopArr = array(QualityStopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
-    val meanLen = (length(col(textCol)) - (n - 1)).cast("double") / n
+    val meanLen = (length(textCol) - (n - 1)).cast("double") / n
     val ratio = nStop.cast("double") / n
     val qRaw = least(lit(1.0), n / lit(50.0)) * 0.4 +
       (lit(1.0) - ratio) * 0.3 +
       least(lit(1.0), meanLen / 8.0) * 0.3
-    docs.select(col(idCol).as("id"),
-      n.cast("bigint").as("n_tokens"),
-      round(ratio, 6).as("stopword_ratio"),
-      ((qRaw * 1000000.0).cast("long").cast("double") / 1000000.0)
-        .as("quality"))
+    (n, ratio,
+      (qRaw * 1000000.0).cast("long").cast("double") / 1000000.0)
   }
 
   /** Rolling polynomial (Karp–Rabin) document fingerprint:
@@ -98,22 +109,32 @@ object TextAnalysis {
     * stopword-profile hit counts (tie-break: lang asc); no hits → 'und'. */
   def langId(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import spark.implicits._
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val profiles = broadcast(StopwordProfiles.toDF("lang", "word"))
-    val hits = base
-      .select(col("id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .join(profiles, col("tok") === col("word"))
-      .groupBy("id", "lang").agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("score").desc, col("lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("id"), col("lang"), col("score"))
-    base.join(best, Seq("id"), "left")
+    base.join(langBest(spark, docs, idCol, textCol), Seq("id"), "left")
       .select(col("id"),
         when(col("text").rlike("[一-鿿]"), lit("zh"))
           .otherwise(coalesce(col("lang"), lit("und"))).as("lang_id"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** (id, lang, score) — the stopword-profile argmax WITHOUT the join
+    * back onto the doc frame; only docs with ≥1 profile hit appear. The
+    * curation chain joins this directly onto its own per-doc frame (one
+    * corpus join instead of two) and applies the same CJK/'und' CASE;
+    * [[langId]] composes it identically, so the two cannot drift. */
+  private[operators] def langBest(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val profiles = broadcast(StopwordProfiles.toDF("lang", "word"))
+    val hits = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .join(profiles, col("tok") === col("word"))
+      .groupBy("id", "lang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("lang").asc)
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"), col("lang"), col("score"))
   }
 
   /** Repetition signals per document (the Gopher/RefinedWeb repetition
